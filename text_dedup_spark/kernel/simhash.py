@@ -1,0 +1,178 @@
+"""SimHash kernel — integer re-derivation of the reference's bitarray logic.
+
+The reference (simhash.py:41-302) represents an f-bit fingerprint as a
+``bitarray`` with index 0 = most-significant bit (``int2ba``/``ba2int``
+convention). We represent it as a plain Python int of f bits, which maps
+bitarray ops exactly:
+
+    bitarray ``x << s`` (shift toward index 0 / MSB)  ==  ``(x << s) & (2^f-1)``
+    bitarray ``x >> s``                               ==  ``x >> s``
+    mask over bitarray [start:end)                    ==  ((1<<(end-start))-1) << (f-end)
+    ``(a ^ b).count(1)``                              ==  popcount(a ^ b)
+
+Parity citations (all into /root/reference/text_dedup/simhash.py):
+- _hamming_distance: :41-64
+- Permutation (block decomposition, offsets, search_mask): :67-138
+- _create_permutations enumeration: :141-194
+- _unsigned_hash (xxh64 digest -> MSB-first bits): :197-230
+- compute (bit-majority): :233-260
+- embed_func (char n-grams with the utils/tokenization.py:35-36 short-doc
+  fallback — NOTE: different from the MinHash spark tokenizer): :263-302
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import permutations as _itpermutations
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .xxh import xxh64_int
+
+
+def hamming_distance(a: int, b: int) -> int:
+    """popcount(a ^ b) (simhash.py:41-64).
+
+    >>> hamming_distance(0b1010, 0b1010)
+    0
+    >>> hamming_distance(0b1010, 0b0010)
+    1
+    """
+    return bin(a ^ b).count("1")
+
+
+class Permutation:
+    """Bit-rotation bucketing table (simhash.py:67-138).
+
+    Blocks of the f-bit fingerprint are reordered so that a chosen (b-k)
+    subset forms the prefix; fingerprints agreeing on that prefix land in the
+    same candidate bucket. All state is plain ints so the *apply* step can be
+    executed either in Python (caption signatures) or as Catalyst bitwise
+    expressions on a LongType column (phash image dedup) — see
+    operators/simhash_dedup.py.
+    """
+
+    def __init__(self, f: int, k: int, b: int, masks: List[Tuple[int, int, int, int]]):
+        self.f = f
+        self.k = k
+        self.b = b
+        self.widths: List[int] = []
+        self.offsets: List[int] = []
+        self.masks: List[int] = []  # int masks in fingerprint bit-space
+
+        width = 0
+        for mask, mask_size, start, _ in masks:
+            self.widths.append(mask_size)
+            offset = start - width
+            width += mask_size
+            self.offsets.append(offset)
+            self.masks.append(mask)
+
+        assert sum(self.widths) == f, "block widths must sum to fingerprint size"
+
+        prefix_width = sum(self.widths[: b - k])
+        self.prefix_width = prefix_width
+        self.search_mask: int = ((1 << prefix_width) - 1) << (f - prefix_width)
+
+    def permute(self, x: int) -> int:
+        result = 0
+        full = (1 << self.f) - 1
+        for mask, offset in zip(self.masks, self.offsets):
+            if offset > 0:
+                result |= ((x & mask) << offset) & full
+            else:
+                result |= (x & mask) >> -offset
+        return result
+
+    def bucket_key(self, x: int) -> int:
+        return self.permute(x) & self.search_mask
+
+
+def block_masks(f: int, b: int) -> List[Tuple[int, int, int, int]]:
+    """(mask, size, start, end) per block; start/end in MSB-first bit index
+    space (simhash.py:169-184)."""
+    block_size = math.ceil(f / b)
+    masks = []
+    for i in range(b):
+        start, end = i * block_size, min((i + 1) * block_size, f)
+        mask = ((1 << (end - start)) - 1) << (f - end)
+        masks.append((mask, end - start, start, end))
+    return masks
+
+
+def create_permutations(f: int, k: int, b: int) -> List[Permutation]:
+    """All orderings of a (b-k)-subset as prefix (simhash.py:186-194).
+
+    >>> len(create_permutations(128, 3, 4))
+    4
+    >>> len(create_permutations(64, 3, 4))
+    4
+    """
+    masks = block_masks(f, b)
+    indices = set(range(len(masks)))
+    results = []
+    for leading_idx in _itpermutations(range(len(masks)), b - k):
+        remaining_idx = sorted(indices - set(leading_idx))
+        blocks = [masks[i] for i in leading_idx] + [masks[i] for i in remaining_idx]
+        results.append(Permutation(f, k, b, blocks))
+    return results
+
+
+def unsigned_hash(obj: bytes, f: int = 64) -> int:
+    """xxh64 digest interpreted MSB-first (simhash.py:197-230). f=128 needs
+    xxh128 (xxh3), which we don't reimplement; gate behind the optional
+    ``xxhash`` package."""
+    if f == 64:
+        return xxh64_int(obj)
+    if f == 128:
+        try:
+            import xxhash  # pragma: no cover - optional dependency
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "f=128 requires the optional 'xxhash' package (xxh128/xxh3); "
+                "only f=64 is supported natively"
+            ) from e
+        return int.from_bytes(xxhash.xxh128(obj).digest(), "big")
+    raise ValueError(f"Unsupported fingerprint size: {f}")
+
+
+def compute(hashes: Sequence[int], f: int = 64) -> int:
+    """Bit-majority SimHash of token hashes (simhash.py:233-260).
+
+    >>> compute([13352372148217134600, 5020219685658847592])
+    74633958390507528
+    """
+    if not hashes:
+        return 0
+    if f == 64:
+        h = np.array(hashes, dtype=np.uint64)
+        shifts = np.arange(f - 1, -1, -1, dtype=np.uint64)
+        arr = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    else:
+        arr = np.zeros((len(hashes), f), dtype=np.int64)
+        for i, hv in enumerate(hashes):
+            for j in range(f):
+                arr[i, j] = (hv >> (f - 1 - j)) & 1
+    votes = (2 * arr - 1).sum(axis=0)
+    result = 0
+    for j in np.nonzero(votes > 0)[0]:
+        result |= 1 << (f - 1 - int(j))
+    return result
+
+
+def char_ngrams(content: str, n: int) -> set[str]:
+    """Char n-grams with the utils-tokenizer short-doc fallback
+    (simhash.py:291 via utils/tokenization.py:35-36): a document shorter than
+    n chars becomes a single whole-document token."""
+    chars = list(content)
+    if len(chars) < n:
+        return {"".join(chars)}
+    return {content[i : i + n] for i in range(len(chars) - n + 1)}
+
+
+def simhash_signature(content: str, f: int = 64, ngram: int = 3) -> int:
+    """embed_func core (simhash.py:263-302): char-ngram set -> xxh64 each ->
+    bit-majority."""
+    tokens = char_ngrams(content, ngram)
+    return compute([unsigned_hash(t.encode("utf-8"), f=f) for t in tokens], f=f)
