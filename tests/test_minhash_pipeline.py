@@ -1,0 +1,126 @@
+"""Distributed MinHash-LSH pipeline vs the single-node UnionFind oracle:
+cluster partitions must match EXACTLY (=> dup-pair recall 1.0 ≥ 0.99)."""
+
+import pytest
+
+from text_dedup_spark.config import MinHashConfig
+from text_dedup_spark.kernel.oracle import minhash_oracle
+from text_dedup_spark.kernel.union_find import UnionFind
+from text_dedup_spark.operators.cc import connected_components
+from text_dedup_spark.operators.lsh import band_rows, candidate_edges
+from text_dedup_spark.plans.minhash_pipeline import minhash_dedup
+
+from conftest import synth_corpus
+
+CFG = MinHashConfig(ngram_size=3, num_perm=32, threshold=0.7)
+
+
+def clusters_from_assignments(rows, all_ids):
+    uf = UnionFind()
+    for x in all_ids:
+        uf.find(x)
+    for r in rows:
+        uf.union(r[0], r[1])
+    return {frozenset(c) for c in uf.clusters().values() if len(c) > 1}
+
+
+def dup_pairs(cluster_sets):
+    pairs = set()
+    for c in cluster_sets:
+        members = sorted(c)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                pairs.add((a, b))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_corpus(300, seed=42)
+
+
+def test_minhash_matches_oracle_clusters(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    res = minhash_dedup(df, "text", CFG, id_col="doc_id")
+    got = res.assignments.collect()
+
+    oracle = minhash_oracle(corpus, CFG)
+    expect_components = oracle.components()
+
+    got_map = {r["doc_id"]: r["component"] for r in got}
+    assert got_map == expect_components
+
+    # cluster partitions as sets (representative-invariant)
+    all_ids = [i for i, _ in corpus]
+    got_clusters = clusters_from_assignments(
+        [(r["doc_id"], r["component"]) for r in got], all_ids
+    )
+    exp_clusters = {frozenset(c) for c in oracle.clusters().values() if len(c) > 1}
+    assert got_clusters == exp_clusters
+
+    # dup-pair recall (the BASELINE.json metric) is therefore exactly 1.0
+    assert dup_pairs(got_clusters) == dup_pairs(exp_clusters)
+
+
+def test_survivors_are_cluster_minima(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    res = minhash_dedup(df, "text", CFG, id_col="doc_id")
+    kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+    removed_ids = {r["doc_id"] for r in res.removed.select("doc_id").collect()}
+
+    oracle = minhash_oracle(corpus, CFG)
+    all_ids = {i for i, _ in corpus}
+    expect_removed = set(oracle.components().keys())
+    assert removed_ids == expect_removed
+    assert kept_ids == all_ids - expect_removed
+    assert kept_ids | removed_ids == all_ids
+    # exactly one representative (the min) per cluster survives
+    for c in oracle.clusters().values():
+        assert min(c) in kept_ids
+        assert all(x in removed_ids for x in c if x != min(c))
+
+
+def test_short_docs_form_one_degenerate_cluster(spark):
+    # all docs shorter than the shingle size share the all-MAX_HASH signature
+    docs = [(0, "one two"), (5, "three four"), (9, ""), (3, "x"), (7, "a much longer document with plenty of distinct tokens to shingle properly here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    res = minhash_dedup(df, "text", MinHashConfig(ngram_size=5, num_perm=16, threshold=0.7), id_col="doc_id")
+    rows = {(r["doc_id"], r["component"]) for r in res.assignments.collect()}
+    assert rows == {(3, 0), (5, 0), (9, 0)}  # all short docs -> min id 0
+
+
+def test_no_duplicates_yields_empty_assignments(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "iota kappa lambda mu nu xi omicron pi rho sigma"),
+        (3, "tau upsilon phi chi psi omega one more doc here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    res = minhash_dedup(df, "text", MinHashConfig(ngram_size=2, num_perm=16, threshold=0.9), id_col="doc_id")
+    assert res.assignments.count() == 0
+    assert res.kept.count() == 3
+
+
+def test_edges_match_reference_star_expansion(spark, corpus):
+    # every bucket contributes (n, min) edges only — verify against a direct
+    # recomputation from the oracle's buckets
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    bands = band_rows(df, "text", CFG, "doc_id")
+    edges = {(r["src"], r["dst"]) for r in candidate_edges(bands, "doc_id").collect()}
+
+    from text_dedup_spark.kernel.minhash import band_bytes, generate_permutations, minhash_signature
+
+    cfg = CFG.resolve()
+    perms = generate_permutations(cfg.num_perm, cfg.seed)
+    buckets = {}
+    for idx, text in corpus:
+        sig = minhash_signature(text, cfg.num_perm, cfg.ngram_size, perms)
+        for b_i, h in enumerate(band_bytes(sig, cfg.ranges)):
+            buckets.setdefault((b_i, h), []).append(idx)
+    expect = set()
+    for nodes in buckets.values():
+        if len(nodes) <= 1:
+            continue
+        mn = min(nodes)
+        expect.update((n, mn) for n in nodes if n != mn)
+    assert edges == expect
