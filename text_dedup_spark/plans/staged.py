@@ -1,0 +1,150 @@
+"""The 3-stage checkpointed MinHash pipeline — the fork's TB-scale path
+(SURVEY §3.2), rebuilt on typed checkpoint tables.
+
+Stage A  hash    per dataset: id-stamp the corpus, compute signatures, write
+                 ``<ds>__withid`` (id-stamped snapshot, checkpoint 1) and
+                 ``<ds>__bands`` (id, band, band_hash — checkpoint 2).
+                 Replaces minhash_spark_onlyHash.py (driver readlines /
+                 single-partition row_number / b64 CSV all gone).
+Stage B  dedup   global, across datasets: one multi-path scan of all band
+                 checkpoints -> edges -> connected components -> ``clusters``
+                 (id, component — checkpoint 3).
+                 Replaces minhash_spark_loadHashAndDedup.py.
+Stage C  remove  per dataset: left_anti/left_semi split against ``clusters``
+                 -> ``<ds>__kept`` / ``<ds>__removed``.
+                 Replaces minhash_spark_onlyRemove.py (incl. its rm_df bug).
+
+Resume: every stage is idempotent (overwrite) and ``run_staged`` skips a
+stage whose outputs already exist unless ``force`` — restartable from any of
+the three checkpoints, the reference's PREV_ID side-channel file replaced by
+dense id offsets carried in the id-stamped snapshots themselves.
+
+Cross-job id disjointness: Stage A takes ``start_id`` (= 1 + max id of the
+previously stamped dataset, ids.max_id) exactly like PREV_ID
+(onlyHash.py:307-309) but stored in data, not a local file.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MinHashConfig
+from ..operators.apply import split_survivors
+from ..operators.cc import connected_components
+from ..operators.ids import ID, assign_dense_ids, max_id
+from ..operators.lsh import band_rows, candidate_edges
+from .metrics import Timer, log_metric, log_partition_lineage
+
+
+def withid_name(ds: str) -> str:
+    return f"{ds}__withid"
+
+
+def bands_name(ds: str) -> str:
+    return f"{ds}__bands"
+
+
+def stage_hash(
+    catalog,
+    df: DataFrame,
+    text_col: str,
+    cfg: MinHashConfig,
+    dataset: str,
+    start_id: int = 0,
+    run_id: str | None = None,
+) -> int:
+    """Returns max assigned id (next dataset starts at max+1)."""
+    run_id = run_id or uuid.uuid4().hex
+    t = Timer()
+    with t("hash"):
+        stamped = assign_dense_ids(df, ID, start=start_id)
+        catalog.write(stamped, withid_name(dataset))
+        stamped = catalog.read(withid_name(dataset))  # read back: one compute
+        bands = band_rows(stamped, text_col, cfg, ID)
+        catalog.write(bands, bands_name(dataset))
+    written = catalog.read(bands_name(dataset))
+    rows_in = stamped.count()
+    rows_out = written.count()
+    log_metric(catalog, run_id, "hash", dataset, rows_in, rows_out, t.elapsed_times["hash"])
+    log_partition_lineage(catalog, run_id, f"hash:{dataset}", written)
+    return max_id(stamped, ID)
+
+
+def stage_dedup(
+    catalog,
+    datasets: list[str],
+    run_id: str | None = None,
+    clusters_table: str = "clusters",
+) -> DataFrame:
+    run_id = run_id or uuid.uuid4().hex
+    t = Timer()
+    with t("dedup"):
+        bands = catalog.read_many([bands_name(ds) for ds in datasets])
+        edges = candidate_edges(bands, ID)
+        assignments = connected_components(edges, ID)
+        catalog.write(assignments, clusters_table)
+    out = catalog.read(clusters_table)
+    log_metric(
+        catalog, run_id, "dedup", ",".join(datasets), bands.count(), out.count(),
+        t.elapsed_times["dedup"],
+    )
+    log_partition_lineage(catalog, run_id, "dedup", out)
+    return out
+
+
+def stage_remove(
+    catalog,
+    dataset: str,
+    run_id: str | None = None,
+    clusters_table: str = "clusters",
+) -> tuple[int, int]:
+    """Returns (kept_rows, removed_rows)."""
+    run_id = run_id or uuid.uuid4().hex
+    t = Timer()
+    with t("remove"):
+        corpus = catalog.read(withid_name(dataset))
+        clusters = catalog.read(clusters_table)
+        kept, removed = split_survivors(corpus, clusters, ID)
+        catalog.write(kept, f"{dataset}__kept")
+        catalog.write(removed, f"{dataset}__removed")
+    kept_n = catalog.read(f"{dataset}__kept").count()
+    removed_n = catalog.read(f"{dataset}__removed").count()
+    log_metric(catalog, run_id, "remove", dataset, kept_n + removed_n, kept_n, t.elapsed_times["remove"])
+    return kept_n, removed_n
+
+
+def run_staged(
+    catalog,
+    inputs: dict[str, DataFrame],
+    text_col: str,
+    cfg: MinHashConfig | None = None,
+    force: bool = False,
+) -> dict[str, tuple[int, int]]:
+    """Full A->B->C run over named datasets, resuming past completed
+    checkpoints. Returns per-dataset (kept, removed) counts."""
+    cfg = (cfg or MinHashConfig()).resolve()
+    run_id = uuid.uuid4().hex
+
+    next_id = 0
+    for ds, df in inputs.items():
+        if force or not (catalog.exists(withid_name(ds)) and catalog.exists(bands_name(ds))):
+            next_id = stage_hash(catalog, df, text_col, cfg, ds, start_id=next_id, run_id=run_id) + 1
+        else:
+            next_id = max_id(catalog.read(withid_name(ds)), ID) + 1
+
+    if force or not catalog.exists("clusters"):
+        stage_dedup(catalog, list(inputs), run_id=run_id)
+
+    results = {}
+    for ds in inputs:
+        if force or not (catalog.exists(f"{ds}__kept") and catalog.exists(f"{ds}__removed")):
+            results[ds] = stage_remove(catalog, ds, run_id=run_id)
+        else:
+            results[ds] = (
+                catalog.read(f"{ds}__kept").count(),
+                catalog.read(f"{ds}__removed").count(),
+            )
+    return results
