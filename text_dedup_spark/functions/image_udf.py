@@ -1,0 +1,102 @@
+"""Multimodal (image) pandas UDFs over opaque binary columns.
+
+The reference has no image path; BASELINE.json adds it (F14 in SURVEY §2.3):
+"vectorized Arrow/pandas UDFs compute ... perceptual features from
+phash/pixels", per-row fidelity PSNR >= 40 dB. All UDFs here are
+Arrow-batched; the PNG decode is real (sources/png.py), real-JPEG decode is
+stubbed per the container constraints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    BinaryType,
+)
+
+from ..sources.png import decode_image, encode_png, phash64, psnr
+
+IMAGE_META = StructType(
+    [
+        StructField("dec_w", IntegerType()),
+        StructField("dec_h", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def _to_signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+@pandas_udf(IMAGE_META)
+def image_meta(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Decode + basic feature extraction: decoded dims and mean luminance."""
+    ws, hs, lumas = [], [], []
+    for b, f in zip(data, fmt):
+        arr = decode_image(bytes(b), f)
+        hs.append(arr.shape[0])
+        ws.append(arr.shape[1])
+        lumas.append(float(arr.astype(np.float64).mean()))
+    return pd.DataFrame({"dec_w": ws, "dec_h": hs, "mean_luma": lumas})
+
+
+@pandas_udf(LongType())
+def phash_from_bytes(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """Recompute the 64-bit perceptual hash from pixels (validates/derives
+    the phash column; feeds the SimHash Hamming dedup)."""
+    return pd.Series(
+        [_to_signed64(phash64(decode_image(bytes(b), f))) for b, f in zip(data, fmt)]
+    )
+
+
+@pandas_udf(DoubleType())
+def pixel_psnr(a: pd.Series, fmt_a: pd.Series, b: pd.Series, fmt_b: pd.Series) -> pd.Series:
+    """PSNR between two image byte columns (inf-> large sentinel 999.0 for
+    bit-identical pixels, keeping the column a plain double)."""
+    out = []
+    for xa, fa, xb, fb in zip(a, fmt_a, b, fmt_b):
+        v = psnr(decode_image(bytes(xa), fa), decode_image(bytes(xb), fb))
+        out.append(999.0 if v == float("inf") else float(v))
+    return pd.Series(out)
+
+
+def make_resize_udf(out_w: int, out_h: int):
+    """Block-mean resize (real decode -> numpy mean-pool -> re-encode PNG).
+    Dimensions must divide the source dims (the synthetic corpus is 32x32)."""
+
+    @pandas_udf(BinaryType())
+    def resize(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, f in zip(data, fmt):
+            arr = decode_image(bytes(b), f)
+            h, w, _ = arr.shape
+            if h % out_h or w % out_w:
+                raise ValueError(f"{w}x{h} not divisible into {out_w}x{out_h}")
+            pooled = (
+                arr.astype(np.float64)
+                .reshape(out_h, h // out_h, out_w, w // out_w, 3)
+                .mean(axis=(1, 3))
+                .round()
+                .astype(np.uint8)
+            )
+            out.append(encode_png(pooled))
+        return pd.Series(out)
+
+    return resize
+
+
+@pandas_udf(BinaryType())
+def frame_sample(data: pd.Series, fmt: pd.Series) -> pd.Series:  # pragma: no cover
+    """Video frame sampling STUB: no video codec exists in this container.
+    The Spark-side plumbing (binary in, binary out, Arrow-batched) is the
+    real contract; swap the body for a real decoder on a cluster."""
+    raise NotImplementedError("video decode requires codecs not present in this container")

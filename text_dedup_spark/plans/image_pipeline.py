@@ -1,0 +1,98 @@
+"""Image+caption near-duplicate suite over the input_hint table
+(image_id, bytes, w, h, fmt, caption, phash) — the BASELINE.json target.
+
+Three modalities, one id space, one clustering contract:
+  exact   : sha256 over raw bytes (codegen-only)        -> exact_assignments
+  caption : MinHash-LSH over caption                    -> minhash pipeline
+  image   : SimHash Hamming<=k over the phash column    -> fingerprint path
+plus per-row fidelity verification (decoded-pixel PSNR + caption equality)
+for any transformed output.
+
+The string image_id is mapped to a dense internal int64 once (scalable
+two-pass, operators/ids.py) and carried back out at the end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MinHashConfig, SimHashConfig
+from ..functions.image_udf import pixel_psnr
+from ..operators.apply import split_survivors, with_cluster
+from ..operators.cc import connected_components
+from ..operators.exact import exact_assignments
+from ..operators.ids import ID, assign_dense_ids
+from ..operators.lsh import band_rows, candidate_edges
+from ..operators.simhash_dedup import simhash_assignments_from_fingerprint
+
+
+@dataclass
+class ImageDedupResult:
+    corpus: DataFrame            # input + internal id
+    exact: DataFrame             # (id, component) on raw bytes
+    caption_clusters: DataFrame  # (id, component) MinHash over caption
+    image_clusters: DataFrame    # (id, component) Hamming over phash
+    kept: DataFrame              # survivors of the union of all three
+
+
+def image_dedup(
+    df: DataFrame,
+    minhash_cfg: MinHashConfig | None = None,
+    simhash_cfg: SimHashConfig | None = None,
+) -> ImageDedupResult:
+    minhash_cfg = (minhash_cfg or MinHashConfig()).resolve()
+    simhash_cfg = simhash_cfg or SimHashConfig()
+
+    corpus = assign_dense_ids(df, ID).persist()
+
+    exact = exact_assignments(corpus, "bytes", ID, algo="sha256")
+
+    bands = band_rows(corpus, "caption", minhash_cfg, ID)
+    caption_clusters = connected_components(candidate_edges(bands, ID), ID)
+
+    image_clusters = simhash_assignments_from_fingerprint(
+        corpus, "phash", simhash_cfg, ID
+    )
+
+    # union of modalities -> one survivor set: an id removed by ANY modality
+    # is removed; re-running CC over the union keeps min-representatives
+    # consistent across overlapping clusters
+    all_edges = (
+        exact.unionByName(caption_clusters)
+        .unionByName(image_clusters)
+        .select(F.col(ID).alias("src"), F.col("component").alias("dst"))
+    )
+    merged = connected_components(all_edges, ID)
+    kept, _removed = split_survivors(corpus, merged, ID)
+
+    return ImageDedupResult(corpus, exact, caption_clusters, image_clusters, kept)
+
+
+def verify_fidelity(
+    original: DataFrame, transformed: DataFrame, min_psnr: float = 40.0
+) -> DataFrame:
+    """Per-row invariant check (input_hint): join on image_id, decoded-pixel
+    PSNR >= min_psnr AND caption equality. Returns violating rows (empty ==
+    pass) — executor-side, no driver collect."""
+    a = original.select(
+        "image_id",
+        F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"),
+        F.col("caption").alias("caption_a"),
+    )
+    b = transformed.select(
+        "image_id",
+        F.col("bytes").alias("bytes_b"),
+        F.col("fmt").alias("fmt_b"),
+        F.col("caption").alias("caption_b"),
+    )
+    joined = a.join(b, "image_id")
+    return joined.withColumn(
+        "psnr", pixel_psnr("bytes_a", "fmt_a", "bytes_b", "fmt_b")
+    ).where(
+        (F.col("psnr") < F.lit(min_psnr))
+        | (F.col("caption_a") != F.col("caption_b"))
+    )

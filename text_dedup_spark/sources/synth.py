@@ -1,0 +1,224 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md T1).
+
+Schema = BASELINE.json input_hint exactly:
+  (image_id string, bytes binary, w int, h int, fmt string,
+   caption string, phash long)
+plus a sidecar truth table recording the planted cluster structure per
+modality, so dup-pair recall is computable exactly.
+
+Generation is DISTRIBUTED and per-row deterministic: ``spark.range(n)`` ->
+``mapInPandas`` with all randomness derived from (seed, group) — no driver
+materialization, unbounded scale. Rows are organized in groups of 10 with
+planted duplicates (FIXTURES.md):
+
+  slot 0  anchor (unique base image + caption)
+  slot 1  exact duplicate of slot 0 (same bytes + caption)      ~10%
+  slot 2  near-duplicate caption of slot 0 (word edits)         ~10%
+  slot 3  near-duplicate image of slot 0 (pixel perturbation,
+          phash Hamming <= 3), own caption                      ~10%
+  slot 4  caption embeds a global >=100-byte shared passage     ~10%
+  slot 5  short caption (fewer tokens than any shingle size)    ~10%
+  slot 6-9 unique singletons
+
+Lossy-path simulation: slot 3 and one singleton per group carry
+fmt='jpeg_sim' — pixels quantized to steps of 4 (PSNR ≈ 48 dB vs the
+unquantized source, exercising the >=40 dB check) then PNG-packed, because
+a real JPEG codec is not in this container (sources/png.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .png import encode_png, phash64
+
+VOCAB = (
+    "model data train sample batch epoch loss token image caption pixel "
+    "filter kernel layer deep wide sparse dense random uniform normal "
+    "the a an of and or with from over under near far red green blue "
+    "bright dark small large tiny huge quick slow first last"
+).split()
+
+SHARED_PASSAGE = (
+    "this shared passage is planted verbatim across documents to exercise the "
+    "suffix array substring deduplication path and it is comfortably longer than "
+    "one hundred bytes of text"
+)
+
+IMG_W = IMG_H = 32
+
+SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+TRUTH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("group", LongType()),
+        StructField("slot", IntegerType()),
+        StructField("exact_cluster", LongType()),
+        StructField("caption_cluster", LongType()),
+        StructField("image_cluster", LongType()),
+    ]
+)
+
+
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _base_pixels(rng: np.random.RandomState) -> np.ndarray:
+    """Smooth structured image (gradients + sinusoid) + mild noise — gives a
+    phash that is stable under small perturbations, like a real photo."""
+    y, x = np.mgrid[0:IMG_H, 0:IMG_W].astype(np.float64)
+    img = np.zeros((IMG_H, IMG_W, 3))
+    for c in range(3):
+        a, b = rng.uniform(-3, 3, 2)
+        fx, fy = rng.uniform(0.1, 0.8, 2)
+        ph = rng.uniform(0, 6.28)
+        img[:, :, c] = (
+            128
+            + a * (x - IMG_W / 2)
+            + b * (y - IMG_H / 2)
+            + 60 * np.sin(fx * x + fy * y + ph)
+        )
+    img += rng.normal(0, 4, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _caption(rng: np.random.RandomState) -> str:
+    n = rng.randint(10, 80)
+    words = [VOCAB[rng.randint(len(VOCAB))] for _ in range(n)]
+    # sprinkle punctuation/newlines to exercise the NON_ALPHA tokenizer
+    out = []
+    for i, w in enumerate(words):
+        out.append(w)
+        if i % 11 == 10:
+            out.append(", " if rng.rand() < 0.7 else "\n")
+    return " ".join(out)
+
+
+def _edit_caption(caption: str, rng: np.random.RandomState, edits: int) -> str:
+    words = caption.split(" ")
+    for _ in range(edits):
+        pos = rng.randint(len(words))
+        words[pos] = VOCAB[rng.randint(len(VOCAB))]
+    return " ".join(words)
+
+
+def _perturb_pixels(arr: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    noisy = arr.astype(np.int16) + rng.randint(-2, 3, arr.shape)
+    return np.clip(noisy, 0, 255).astype(np.uint8)
+
+
+def _quantize(arr: np.ndarray) -> np.ndarray:
+    """Deterministic lossy simulation: quantize to steps of 4
+    (RMSE ~1.1 -> PSNR ~47 dB)."""
+    return ((arr.astype(np.int16) // 4) * 4 + 2).clip(0, 255).astype(np.uint8)
+
+
+def _group_rows(group: int, seed: int):
+    """10 (row_dict, truth_dict) pairs for one group, fully deterministic."""
+    rng = np.random.RandomState((seed * 1_000_003 + group) % (1 << 31))
+    base_id = group * 10
+
+    anchor_px = _base_pixels(rng)
+    anchor_caption = _caption(rng)
+
+    rows = []
+
+    def emit(slot, px, caption, fmt, exact_c, cap_c, img_c, lossy_src=None):
+        i = base_id + slot
+        data = encode_png(px)
+        rows.append(
+            (
+                {
+                    "image_id": f"img-{i:010d}",
+                    "bytes": data,
+                    "w": IMG_W,
+                    "h": IMG_H,
+                    "fmt": fmt,
+                    "caption": caption,
+                    "phash": _signed64(phash64(px)),
+                },
+                {
+                    "image_id": f"img-{i:010d}",
+                    "group": group,
+                    "slot": slot,
+                    "exact_cluster": exact_c,
+                    "caption_cluster": cap_c,
+                    "image_cluster": img_c,
+                },
+            )
+        )
+
+    # slot 0 anchor
+    emit(0, anchor_px, anchor_caption, "png", base_id, base_id, base_id)
+    # slot 1 exact duplicate
+    emit(1, anchor_px, anchor_caption, "png", base_id, base_id, base_id)
+    # slot 2 near-dup caption (1 edit per ~12 words stays above Jaccard .7 @ 5-gram)
+    n_words = len(anchor_caption.split(" "))
+    cap2 = _edit_caption(anchor_caption, rng, max(1, n_words // 25))
+    emit(2, _base_pixels(rng), cap2, "png", base_id + 2, base_id, base_id + 2)
+    # slot 3 near-dup image (lossy container), own caption
+    emit(3, _quantize(_perturb_pixels(anchor_px, rng)), _caption(rng), "jpeg_sim",
+         base_id + 3, base_id + 3, base_id)
+    # slot 4 shared passage embedded
+    emit(4, _base_pixels(rng), _caption(rng) + " " + SHARED_PASSAGE + " " + _caption(rng),
+         "png", base_id + 4, base_id + 4, base_id + 4)
+    # slot 5 short caption
+    emit(5, _base_pixels(rng), " ".join(VOCAB[rng.randint(len(VOCAB))] for _ in range(3)),
+         "png", base_id + 5, base_id + 5, base_id + 5)
+    # slots 6-9 singletons (one lossy)
+    for slot in range(6, 10):
+        fmt = "jpeg_sim" if slot == 6 else "png"
+        px = _base_pixels(rng)
+        if fmt == "jpeg_sim":
+            px = _quantize(px)
+        emit(slot, px, _caption(rng), fmt, base_id + slot, base_id + slot, base_id + slot)
+
+    return rows
+
+
+def images_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    return _build(spark, n_rows, seed, which="rows")
+
+
+def truth_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    return _build(spark, n_rows, seed, which="truth")
+
+
+def _build(spark: SparkSession, n_rows: int, seed: int, which: str) -> DataFrame:
+    n_groups = (n_rows + 9) // 10
+    schema = SCHEMA if which == "rows" else TRUTH_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for g in pdf["id"].tolist():
+                for row, truth in _group_rows(int(g), seed):
+                    out.append(row if which == "rows" else truth)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    groups = spark.range(n_groups).repartition(max(2, min(64, n_groups)))
+    return groups.mapInPandas(gen, schema)
