@@ -107,7 +107,9 @@ def _base_pixels(rng: np.random.RandomState) -> np.ndarray:
 
 
 def _caption(rng: np.random.RandomState) -> str:
-    n = rng.randint(10, 80)
+    # 30-80 words: enough 5-shingles that a 1-2 word append stays well above
+    # Jaccard 0.7 (the deliberately-short case is slot 5)
+    n = rng.randint(30, 80)
     words = [VOCAB[rng.randint(len(VOCAB))] for _ in range(n)]
     # sprinkle punctuation/newlines to exercise the NON_ALPHA tokenizer
     out = []
@@ -116,14 +118,6 @@ def _caption(rng: np.random.RandomState) -> str:
         if i % 11 == 10:
             out.append(", " if rng.rand() < 0.7 else "\n")
     return " ".join(out)
-
-
-def _edit_caption(caption: str, rng: np.random.RandomState, edits: int) -> str:
-    words = caption.split(" ")
-    for _ in range(edits):
-        pos = rng.randint(len(words))
-        words[pos] = VOCAB[rng.randint(len(VOCAB))]
-    return " ".join(words)
 
 
 def _perturb_pixels(arr: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
@@ -176,9 +170,11 @@ def _group_rows(group: int, seed: int):
     emit(0, anchor_px, anchor_caption, "png", base_id, base_id, base_id)
     # slot 1 exact duplicate
     emit(1, anchor_px, anchor_caption, "png", base_id, base_id, base_id)
-    # slot 2 near-dup caption (1 edit per ~12 words stays above Jaccard .7 @ 5-gram)
-    n_words = len(anchor_caption.split(" "))
-    cap2 = _edit_caption(anchor_caption, rng, max(1, n_words // 25))
+    # slot 2 near-dup caption: append 1-2 words — keeps every original
+    # 5-shingle, Jaccard ~ (w-4)/(w-2) >= 0.93 at w>=30, so the LSH hit
+    # probability at threshold 0.7 is ~1 (deterministic recall, FIXTURES.md)
+    extra = " ".join(VOCAB[rng.randint(len(VOCAB))] for _ in range(rng.randint(1, 3)))
+    cap2 = anchor_caption + " " + extra
     emit(2, _base_pixels(rng), cap2, "png", base_id + 2, base_id, base_id + 2)
     # slot 3 near-dup image (lossy container), own caption
     emit(3, _quantize(_perturb_pixels(anchor_px, rng)), _caption(rng), "jpeg_sim",
