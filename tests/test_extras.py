@@ -1,0 +1,155 @@
+"""Text stats, language ID, Jaccard verification, ANN search."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_dedup_spark.functions.langid import detect_language, langid
+from text_dedup_spark.kernel.minhash import jaccard_ngrams, tokenize
+from text_dedup_spark.operators.ann import (
+    brute_force_topk,
+    embedding_near_pairs,
+    lsh_topk,
+)
+from text_dedup_spark.operators.jaccard import jaccard_dedup_edges, shingles_expr, verify_pairs
+from text_dedup_spark.operators.textstats import doc_fingerprint, doc_stats, quality_score
+
+
+def test_doc_stats_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, jumps!"), (2, ""), (3, "a b")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_stats(df, "text", "doc_id").collect()}
+    assert rows[1]["n_tokens"] == 5
+    assert rows[1]["n_chars"] == 27
+    assert rows[1]["punct_ratio"] == round(2 / 27, 4)
+    assert rows[1]["stopword_ratio"] == round(1 / 5, 4)  # 'The'
+    assert rows[2]["n_tokens"] == 0 and rows[2]["avg_token_len"] == 0.0
+    assert rows[3]["avg_token_len"] == 1.0
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and keeps running for a while longer"),
+            (2, "!!!! ???? ;;;; ::::"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df, "text", "doc_id").collect()}
+    assert q[1] > q[2]
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df, "text", "doc_id").collect()}
+    assert len(fp[1]) == 16 and fp[1] != fp[2]
+    # identical text -> identical fingerprint
+    df2 = spark.createDataFrame([(3, "same"), (4, "same")], "doc_id long, text string")
+    fps = [r["fingerprint"] for r in doc_fingerprint(df2, "text", "doc_id").collect()]
+    assert fps[0] == fps[1]
+
+
+def test_langid(spark):
+    assert detect_language("the cat sat on the mat and the dog ran over the field") == "en"
+    assert detect_language("der hund lief über das feld und der fuchs sprang") == "de"
+    assert detect_language("") == "und"
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog in the field"),
+         (2, "el perro corre sobre el campo y el zorro salta sobre los animales")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", langid("text").alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "es"
+
+
+def test_shingles_and_jaccard_match_kernel(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox leaps over the lazy dog"),
+        (2, "one two"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = {r["doc_id"]: set(r["sh"]) for r in df.select(
+        "doc_id", shingles_expr(F.col("text"), 3).alias("sh")).collect()}
+    for i, t in texts:
+        assert rows[i] == tokenize(t, 3), i
+
+    edges = spark.createDataFrame([(1, 0)], "src long, dst long")
+    out = verify_pairs(df, edges, "text", 3, 0.0, "doc_id").collect()
+    assert len(out) == 1
+    expect = jaccard_ngrams(texts[1][1], texts[0][1], 3)
+    assert out[0]["jaccard"] == round(expect, 6)
+
+
+def test_jaccard_dedup_edges(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = [(0, base), (1, base + " lambda"), (2, "totally different words here entirely unrelated")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from text_dedup_spark.config import MinHashConfig
+
+    edges = jaccard_dedup_edges(df, "text", 3, 0.7, MinHashConfig(ngram_size=3, num_perm=32, threshold=0.7), "doc_id").collect()
+    pairs = {(r["src"], r["dst"]) for r in edges}
+    assert (1, 0) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # planted near-duplicates: 110..119 are tiny perturbations of 0..9
+    for j in range(10):
+        base = rows[j][1]
+        rows.append((110 + j, [x + rng.gauss(0, 0.01) for x in base]))
+    rows = rows[:110] + rows[120:]  # keep ids 0..109 + 110..119
+    df = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in rows],
+                               "vec_id long, embedding array<float>")
+    return df.persist()
+
+
+def _cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_topk_matches_python(spark, vectors):
+    data = {r["vec_id"]: list(r["embedding"]) for r in vectors.collect()}
+    queries = vectors.where(F.col("vec_id") < 3)
+    got = brute_force_topk(vectors, queries, 5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["score"]))
+    for q in range(3):
+        scored = sorted(
+            ((round(_cosine(data[q], v), 6), -i) for i, v in data.items() if i != q),
+            reverse=True,
+        )
+        expect = [(-negi) for s, negi in scored[:5]]
+        gotlist = [n for _, n, _ in sorted(by_q[q])]
+        assert gotlist == expect, q
+
+
+def test_lsh_topk_finds_planted_neighbors(spark, vectors):
+    queries = vectors.where(F.col("vec_id") < 10)
+    got = lsh_topk(vectors, queries, 1, nbits=8, n_tables=12)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got.collect()}
+    hits = sum(1 for q in range(10) if top1.get(q) == 110 + q)
+    assert hits >= 9, top1  # >=90% recall@1 on planted near-identical pairs
+
+
+def test_embedding_near_pairs(spark, vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(vectors, 0.99, approximate=False).collect()
+    }
+    assert exact == {(j, 110 + j) for j in range(10)}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs(vectors, 0.99, approximate=True, nbits=8, n_tables=12).collect()
+    }
+    assert len(approx & exact) >= 9
+    assert approx <= exact  # verification step admits no false positives

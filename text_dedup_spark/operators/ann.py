@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (both DataFrame-native):
+- ``brute_force_topk``: exact cosine top-k — broadcast the (small) query set
+  against the full corpus; dot products via zip_with/aggregate in DOUBLE with
+  left-to-right accumulation (deterministic, oracle-mirrorable). The
+  baseline and the verifier for the approximate path.
+- ``lsh_topk``: random-hyperplane (sign) LSH — an Arrow-batched numpy matmul
+  computes an nbits signature per vector, candidates = bucket collisions in
+  any of ``n_tables`` tables, exact cosine re-rank of candidates only. The
+  scale path: candidate generation is a hash-partitioned equi-join on
+  (table, bucket), never a cross join.
+
+``embedding_near_pairs``: all pairs above a cosine threshold (the
+embedding-space near-duplicate operator) — same join skeleton as the LSH
+path; brute force only when forced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+
+def cosine_expr(a, b):
+    """Cosine similarity of two array<float/double> columns, computed in
+    double with index-order accumulation."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, score). Self-matches excluded. The
+    query side is broadcast (it is the small side by contract)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("__qv__"), F.col("__cv__")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def make_sign_lsh_udf(dim: int, nbits: int, n_tables: int, seed: int = 42):
+    """array<float> -> array<int> of n_tables bucket ids (sign-bit LSH).
+    The projection matrix is driver-generated (deterministic) and closure-
+    broadcast; the UDF is one numpy matmul per Arrow batch."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, dim, nbits))
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def sign_buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (mat @ planes[t]) > 0  # (batch, nbits)
+            out[:, t] = bits @ weights
+        return pd.Series(out.astype(np.int32).tolist())
+
+    return sign_buckets
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket-collision candidates, exact re-rank."""
+    dim = len(corpus.select(vec_col).first()[0])
+    udf = make_sign_lsh_udf(dim, nbits, n_tables, seed)
+
+    def bucketize(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"__{role}v__"),
+            F.posexplode(udf(F.col(vec_col))).alias("table", f"{role}_bucket"),
+        )
+
+    cb = bucketize(corpus, "neighbor")
+    qb = bucketize(queries, "query").withColumnRenamed("query_bucket", "neighbor_bucket")
+    cand = (
+        cb.join(qb, ["table", "neighbor_bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__queryv__", "__neighborv__")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("__queryv__"), F.col("__neighborv__")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    approximate: bool = True,
+    nbits: int = 10,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, score) with id_a < id_b and cosine >= threshold."""
+    if approximate:
+        dim = len(df.select(vec_col).first()[0])
+        udf = make_sign_lsh_udf(dim, nbits, n_tables, seed)
+        b = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
+        )
+        left = b.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        right = b.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        cand = (
+            left.join(right, ["table", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = l.crossJoin(r).where(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score")
+        )
+        .where(F.col("score") >= threshold)
+    )
