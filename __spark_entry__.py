@@ -315,11 +315,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
-                   round(
+                   round((
                      (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.3 END) *
                      (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) *
                      (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) *
-                     (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.7 END), 4) AS quality
+                     (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.7 END)
+                   )::DOUBLE, 4) AS quality
             FROM s
         """,
         "doc_fingerprint": """
