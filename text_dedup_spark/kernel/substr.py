@@ -66,44 +66,70 @@ def duplicate_segments(data: bytes, k: int) -> List[Interval]:
     if n < k or k <= 0:
         return []
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # a single rolling hash only PROPOSES candidate runs — the byte-exact
+    # verification below makes the result exact regardless of collisions,
+    # so a second hash would only buy a smaller rare-path, not correctness
     h1 = _rolling_hashes(b, k, _B1)
-    h2 = _rolling_hashes(b, k, _B2)
-
-    combo = np.empty(len(h1), dtype=[("a", np.uint64), ("b", np.uint64)])
-    combo["a"], combo["b"] = h1, h2
-    order = np.argsort(combo, kind="stable")
-    sorted_c = combo[order]
-    # run boundaries of equal (h1, h2)
+    order = np.argsort(h1)  # quicksort: ~2x faster than stable on uint64
+    sorted_c = h1[order]
+    # run boundaries of equal h1
     new_run = np.empty(len(sorted_c), dtype=bool)
     new_run[0] = True
     new_run[1:] = sorted_c[1:] != sorted_c[:-1]
     run_ids = np.cumsum(new_run) - 1
     counts = np.bincount(run_ids)
     dup_mask = counts[run_ids] >= 2
-    candidates = order[dup_mask]
-    if len(candidates) == 0:
+    cand_pos = order[dup_mask].astype(np.int64)
+    cand_run = run_ids[dup_mask]  # nondecreasing (subset of sorted order)
+    if len(cand_pos) == 0:
         return []
 
-    # byte-exact verification within hash groups (rolling-hash collisions)
-    groups: Dict[int, List[int]] = {}
-    for pos, rid in zip(candidates, run_ids[dup_mask]):
-        groups.setdefault(int(rid), []).append(int(pos))
-    dup_positions: List[int] = []
-    mv = memoryview(data)
-    for poss in groups.values():
-        if len(poss) < 2:
-            continue
-        by_bytes: Dict[bytes, List[int]] = {}
-        for p in poss:
-            by_bytes.setdefault(bytes(mv[p : p + k]), []).append(p)
-        for same in by_bytes.values():
-            if len(same) >= 2:
-                dup_positions.extend(same)
+    # Byte-exact verification within hash runs (guards rolling-hash
+    # collisions), vectorized: compare every candidate against its run's
+    # first member, k single-byte planes at a time.
+    grp_start = np.empty(len(cand_run), dtype=bool)
+    grp_start[0] = True
+    grp_start[1:] = cand_run[1:] != cand_run[:-1]
+    starts_idx = np.nonzero(grp_start)[0]
+    grp_len = np.diff(np.append(starts_idx, len(cand_run)))
+    rep_pos = np.repeat(cand_pos[starts_idx], grp_len)
+    eq = np.ones(len(cand_pos), dtype=bool)
+    bb = np.frombuffer(data, dtype=np.uint8)
+    for j in range(k):
+        np.logical_and(eq, bb[cand_pos + j] == bb[rep_pos + j], out=eq)
+    # a run is genuine if >= 2 members match its representative
+    eq_per_grp = np.add.reduceat(eq, starts_idx)
+    grp_ids = np.repeat(np.arange(len(starts_idx)), grp_len)
+    verified = eq & (eq_per_grp[grp_ids] >= 2)
 
-    if not dup_positions:
+    dup_list: List[int] = []
+    # Rare path: members NOT equal to the representative are true hash
+    # collisions — resolve those few by exact bytes.
+    if not eq.all():
+        mv = memoryview(data)
+        odd_grps = np.unique(grp_ids[~eq])
+        for g in odd_grps:
+            lo = starts_idx[g]
+            members = cand_pos[lo : lo + grp_len[g]][~eq[lo : lo + grp_len[g]]]
+            by_bytes: Dict[bytes, List[int]] = {}
+            for p in members.tolist():
+                by_bytes.setdefault(bytes(mv[p : p + k]), []).append(p)
+            for same in by_bytes.values():
+                if len(same) >= 2:
+                    dup_list.extend(same)
+
+    pos = np.sort(cand_pos[verified])
+    if dup_list:
+        pos = np.sort(np.concatenate([pos, np.array(dup_list, dtype=np.int64)]))
+    if len(pos) == 0:
         return []
-    dup_positions.sort()
-    return merge_intervals([(p, p + k) for p in dup_positions], "overlapping")
+    # merge_intervals('overlapping') on sorted equal-length spans [p, p+k):
+    # a new merged range starts exactly where the gap to the previous
+    # position exceeds k.
+    brk = np.nonzero(np.diff(pos) > k)[0]
+    starts = pos[np.concatenate(([0], brk + 1))]
+    ends = pos[np.concatenate((brk, [len(pos) - 1]))] + k
+    return list(zip(starts.tolist(), ends.tolist()))
 
 
 def dedup_documents(

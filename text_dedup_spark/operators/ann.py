@@ -26,6 +26,12 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType
 
 
+def _round_half_up(x: np.ndarray, digits: int = 6) -> np.ndarray:
+    """Match Spark/DuckDB ROUND (HALF_UP) instead of numpy's HALF_EVEN."""
+    scale = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def cosine_expr(a, b):
     """Cosine similarity of two array<float/double> columns, computed in
     double with index-order accumulation."""
@@ -160,12 +166,81 @@ def embedding_near_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-        cand = l.crossJoin(r).where(F.col("id_a") < F.col("id_b"))
+        return _exact_near_pairs_blocked(df, threshold, id_col, vec_col)
     return (
         cand.select(
             "id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score")
         )
         .where(F.col("score") >= threshold)
+    )
+
+
+def _exact_near_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via blocked matrix multiply.
+
+    Vectors are hash-assigned to one of ``n_blocks`` blocks; each vector is
+    replicated to every unordered block-pair it participates in (replication
+    factor = n_blocks, vs. n for a cross join), then each block-pair group is
+    scored with ONE numpy matmul inside ``applyInPandas``. Every unordered
+    vector pair lands in exactly one group, so no dedup pass is needed.
+    At cluster scale n_blocks ~ sqrt(parallelism) keeps groups
+    executor-memory-sized while the shuffle stays O(n * n_blocks) rows.
+    """
+    spark = df.sparkSession
+    pairs = [
+        (i, j, pi)
+        for pi, (i, j) in enumerate(
+            (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+        )
+    ]
+    # block -> the pair-groups it must be shipped to, with its role in each:
+    # role 0 = "left" rows (block i), 1 = "right" rows (block j); diagonal
+    # groups (i == j) use role 0 only.
+    member_rows = []
+    for i, j, pi in pairs:
+        member_rows.append((i, pi, 0))
+        if j != i:
+            member_rows.append((j, pi, 1))
+    members = spark.createDataFrame(member_rows, "block int, pair_id int, role int")
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("block"),
+    )
+    replicated = vecs.join(F.broadcast(members), "block").select(
+        "pair_id", "role", "id", "v"
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["role"] == 0]
+        right = pdf[pdf["role"] == 1]
+        lids = left["id"].to_numpy()
+        lmat = np.array(left["v"].tolist(), dtype=np.float64)
+        lmat /= np.maximum(np.linalg.norm(lmat, axis=1, keepdims=True), 1e-300)
+        if len(right) == 0:  # diagonal block: pairs within `left`
+            rids, rmat = lids, lmat
+        else:
+            rids = right["id"].to_numpy()
+            rmat = np.array(right["v"].tolist(), dtype=np.float64)
+            rmat /= np.maximum(np.linalg.norm(rmat, axis=1, keepdims=True), 1e-300)
+        scores = _round_half_up(lmat @ rmat.T)
+        li, ri = np.nonzero(scores >= threshold)
+        a, b = lids[li], rids[ri]
+        keep = a != b
+        a, b, s = a[keep], b[keep], scores[li, ri][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "score": s})
+        if len(right) == 0:  # each within-block pair appears twice (i,j)+(j,i)
+            out = out.drop_duplicates(["id_a", "id_b"])
+        return out
+
+    return replicated.groupBy("pair_id").applyInPandas(
+        score_group, "id_a long, id_b long, score double"
     )
