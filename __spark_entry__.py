@@ -52,10 +52,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    # test parquet is one ~small file = 1 scan partition; spread rows across
+    # the cores before the signature UDFs (at production scale the input has
+    # many splits and this repartition is unnecessary)
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, "doc_id")
+
+
 def _docs_with_exact_dups(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     clone = d.select((F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text")
-    return d.unionByName(clone)
+    return _spread(d.unionByName(clone))
 
 
 def _docs_with_near_dups(spark, sf_dir) -> DataFrame:
@@ -64,7 +72,7 @@ def _docs_with_near_dups(spark, sf_dir) -> DataFrame:
         (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" appended tail marker")).alias("text"),
     )
-    return d.unionByName(clone)
+    return _spread(d.unionByName(clone))
 
 
 # --- queries ---------------------------------------------------------------

@@ -21,6 +21,8 @@ import subprocess
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,6 +42,16 @@ def run_queries() -> dict:
 
     spark = _session(CPUS)
     sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or "0.1")
+
+    # warmup: spawn the Python worker fleet + JIT/codegen paths once, so the
+    # per-query timings measure the engine rather than interpreter startup
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, CPUS * 1000, 1, CPUS).select(_warm(col("id"))).count()
 
     qs = entrymod.queries()
     headline = [

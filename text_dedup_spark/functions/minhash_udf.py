@@ -21,7 +21,11 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, BinaryType, LongType
 
 from ..config import MinHashConfig
-from ..kernel.minhash import band_bytes, generate_permutations, minhash_signature
+from ..kernel.minhash import (
+    band_bytes,
+    generate_permutations,
+    minhash_signatures_batch,
+)
 
 
 def make_band_hashes_udf(cfg: MinHashConfig):
@@ -33,18 +37,10 @@ def make_band_hashes_udf(cfg: MinHashConfig):
 
     @pandas_udf(ArrayType(BinaryType()))
     def band_hashes(texts: pd.Series) -> pd.Series:
-        cache: dict = {}
-        out = []
-        for text in texts:
-            sig = minhash_signature(
-                text if text is not None else "",
-                num_perm,
-                ngram_size,
-                permutations,
-                token_cache=cache,
-            )
-            out.append(band_bytes(sig, ranges))
-        return pd.Series(out)
+        sigs = minhash_signatures_batch(
+            texts.tolist(), num_perm, ngram_size, permutations, token_cache={}
+        )
+        return pd.Series([band_bytes(sig, ranges) for sig in sigs])
 
     return band_hashes
 
@@ -59,18 +55,10 @@ def make_signature_udf(cfg: MinHashConfig):
 
     @pandas_udf(ArrayType(LongType()))
     def signature(texts: pd.Series) -> pd.Series:
-        cache: dict = {}
-        out = []
-        for text in texts:
-            sig = minhash_signature(
-                text if text is not None else "",
-                num_perm,
-                ngram_size,
-                permutations,
-                token_cache=cache,
-            )
-            out.append(sig.view(np.int64).tolist())
-        return pd.Series(out)
+        sigs = minhash_signatures_batch(
+            texts.tolist(), num_perm, ngram_size, permutations, token_cache={}
+        )
+        return pd.Series([sig.view(np.int64).tolist() for sig in sigs])
 
     return signature
 

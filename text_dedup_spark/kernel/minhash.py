@@ -136,6 +136,64 @@ def minhash_signature(
     return np.vstack([phv, hashvalues]).min(axis=0)
 
 
+def minhash_signatures_batch(
+    texts: Sequence[str],
+    num_perm: int,
+    ngram_size: int,
+    permutations: np.ndarray,
+    token_cache: dict | None = None,
+    chunk_tokens: int = 20_000,  # ~10 MB of (T, 64) uint64 working set:
+    # small enough to stay cache-resident — measured ~10x faster than a
+    # 200k-token chunk on this workload
+) -> np.ndarray:
+    """uint64[len(texts), num_perm] — bit-exact batch equivalent of
+    ``minhash_signature`` per row, with the permutation/min step vectorized
+    ACROSS documents: all token hashes of a ~chunk_tokens-token chunk form
+    one (T, num_perm) universal-hash matrix, and per-document minima come
+    from ``np.minimum.reduceat`` over document offsets. Identical uint64
+    wraparound arithmetic as the reference (minhash_spark.py:144-153)."""
+    a, b = permutations
+    n = len(texts)
+    sigs = np.full((n, num_perm), MAX_HASH, dtype=np.uint64)
+    cache = token_cache if token_cache is not None else {}
+
+    hv_arrays: List[np.ndarray] = []
+    for t in texts:
+        toks = tokenize(t or "", ngram_size)
+        arr = np.empty(len(toks), dtype=np.uint64)
+        for i, tok in enumerate(toks):
+            h = cache.get(tok)
+            if h is None:
+                h = sha1_hash32(tok.encode("utf-8"))
+                cache[tok] = h
+            arr[i] = h
+        hv_arrays.append(arr)
+
+    start = 0
+    while start < n:
+        end, tot = start, 0
+        while end < n and (tot == 0 or tot + len(hv_arrays[end]) <= chunk_tokens):
+            tot += len(hv_arrays[end])
+            end += 1
+        lens = np.array([len(hv_arrays[i]) for i in range(start, end)], dtype=np.int64)
+        nonzero = lens > 0
+        if tot > 0:
+            hv = np.concatenate(hv_arrays[start:end])
+            # phv[i, p] = ((hv[i] * a[p] + b[p]) mod MERSENNE) & MAX_HASH,
+            # all uint64 wraparound — same elementwise values as the
+            # reference's tile/transpose formulation. The mod uses the
+            # Mersenne reduction (2^61 ≡ 1 mod p, so y ≡ (y>>61)+(y&p)):
+            # shift/add/compare vectorize where numpy's % does not.
+            x = hv[:, None] * a[None, :] + b[None, :]
+            m = (x >> np.uint64(61)) + (x & MERSENNE_PRIME)
+            m -= np.where(m >= MERSENNE_PRIME, MERSENNE_PRIME, np.uint64(0))
+            phv = np.bitwise_and(m, MAX_HASH)
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1][nonzero]
+            sigs[start:end][nonzero] = np.minimum.reduceat(phv, offsets, axis=0)
+        start = end
+    return sigs
+
+
 def hash_ranges(b: int, r: int) -> List[Tuple[int, int]]:
     """Band slice offsets (minhash_spark.py:312)."""
     return [(i * r, (i + 1) * r) for i in range(b)]

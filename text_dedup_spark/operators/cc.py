@@ -29,17 +29,27 @@ from pyspark.sql import functions as F
 from .ids import ID
 
 
-def _fingerprint(edges: DataFrame) -> tuple:
-    # multiset fingerprint: count + two independent modded hash sums. Mods
-    # keep each term < 1e6/1e6-ish so the long sum cannot overflow before
-    # ~1e12 edges even under ANSI arithmetic.
+def _fingerprints2(a: DataFrame, b: DataFrame) -> tuple:
+    """Multiset fingerprints of two edge frames in ONE Spark job (tagged
+    union + grouped agg). Each term is count + two independent modded hash
+    sums; mods keep terms ~1e6 so the long sums cannot overflow before
+    ~1e12 edges even under ANSI arithmetic."""
     h = F.xxhash64("u", "v")
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(h, F.lit(1_000_003))).alias("s1"),
-        F.sum(F.pmod(h, F.lit(999_983))).alias("s2"),
-    ).collect()[0]
-    return (row["n"], row["s1"], row["s2"])
+    tagged = a.select("u", "v", F.lit(0).alias("__t__")).unionAll(
+        b.select("u", "v", F.lit(1).alias("__t__"))
+    )
+    rows = (
+        tagged.groupBy("__t__")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(h, F.lit(1_000_003))).alias("s1"),
+            F.sum(F.pmod(h, F.lit(999_983))).alias("s2"),
+        )
+        .collect()
+    )
+    by_tag = {r["__t__"]: (r["n"], r["s1"], r["s2"]) for r in rows}
+    empty = (0, None, None)
+    return by_tag.get(0, empty), by_tag.get(1, empty)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -86,22 +96,18 @@ def connected_components(
     a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     a = a.localCheckpoint(eager=True)
 
-    prev_fp = None
     for _ in range(max_iterations):
         b = _large_star(a).localCheckpoint(eager=True)
         new_a = _small_star(b).localCheckpoint(eager=True)
         a.unpersist()
         a = new_a
-        fp_a, fp_b = _fingerprint(a), _fingerprint(b)
+        fp_a, fp_b = _fingerprints2(a, b)
         b.unpersist()
         # reference loop stops when small-star output == large-star output as
         # sets (minhash_spark.py:374-379); multiset fingerprints of the two
         # deduped frames agree iff (w.h.p.) the sets agree
-        if fp_a == fp_b and fp_a == prev_fp:
-            break
         if fp_a == fp_b:
             break
-        prev_fp = fp_a
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
 

@@ -62,4 +62,10 @@ def edges_from_band_rows(bands: DataFrame, id_col: str = ID) -> DataFrame:
 def minhash_edges(
     df: DataFrame, text_col: str, cfg: MinHashConfig, id_col: str = ID
 ) -> DataFrame:
-    return candidate_edges(band_rows(df, text_col, cfg, id_col), id_col)
+    from pyspark import StorageLevel
+
+    # bands feed two shuffles (bucket-min agg + join back); persisting them
+    # runs the signature UDF once instead of twice. MEMORY_AND_DISK: band
+    # rows are num_bands x corpus and may not fit in executor memory.
+    bands = band_rows(df, text_col, cfg, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    return candidate_edges(bands, id_col)

@@ -68,8 +68,13 @@ def simhash_assignments_from_text(
     df: DataFrame, text_col: str, cfg: SimHashConfig | None = None, id_col: str = ID
 ) -> DataFrame:
     cfg = cfg or SimHashConfig()
-    sigs = simhash_fingerprints(df, text_col, cfg, id_col)
-    return connected_components(simhash_edges(sigs, cfg, id_col), id_col)
+    # persist: sigs feed both the identical-signature collapse and the bucket
+    # join, and the text UDF is the expensive stage — compute it once
+    sigs = simhash_fingerprints(df, text_col, cfg, id_col).persist()
+    try:
+        return connected_components(simhash_edges(sigs, cfg, id_col), id_col)
+    finally:
+        sigs.unpersist()
 
 
 def simhash_assignments_from_fingerprint(

@@ -50,8 +50,15 @@ def image_dedup(
 
     exact = exact_assignments(corpus, "bytes", ID, algo="sha256")
 
-    bands = band_rows(corpus, "caption", minhash_cfg, ID)
+    from pyspark import StorageLevel
+
+    # bands feed two shuffles (bucket-min + join back) — persist so the
+    # caption-signature UDF runs once; CC materializes edges eagerly
+    bands = band_rows(corpus, "caption", minhash_cfg, ID).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     caption_clusters = connected_components(candidate_edges(bands, ID), ID)
+    bands.unpersist()
 
     image_clusters = simhash_assignments_from_fingerprint(
         corpus, "phash", simhash_cfg, ID

@@ -52,8 +52,14 @@ def minhash_dedup(
         id_col = ID
     corpus = df.persist()  # reused: banding + final join (minhash_spark.py:343)
 
-    bands = band_rows(corpus, text_col, cfg, id_col)
+    from pyspark import StorageLevel
+
+    # bands feed two shuffles (bucket-min + join back) — persist so the
+    # signature UDF runs once; CC eagerly materializes edges, after which
+    # the band rows are dead weight and can be dropped.
+    bands = band_rows(corpus, text_col, cfg, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     edges = candidate_edges(bands, id_col)
     assignments = connected_components(edges, id_col)
+    bands.unpersist()
     kept, removed = split_survivors(corpus, assignments, id_col)
     return MinHashDedupResult(corpus, assignments, kept, removed)
