@@ -100,6 +100,23 @@ def scaling_worker(cpus: int, n_images: int) -> dict:
     imgs = images_table(spark, n_images, seed=42).persist(StorageLevel.MEMORY_AND_DISK)
     n = imgs.count()  # materialize generation OUTSIDE the timed window
 
+    # Warm the scalar-pandas-UDF and applyInPandas worker pools before the
+    # timed window: a local[k] pool fork-and-imports k python workers
+    # (~0.3s x k of CPU), a one-time executor-lifetime cost that is noise
+    # for a production-scale job but would dominate a seconds-scale window
+    # asymmetrically (32 forks vs 8).
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    wdf = spark.range(0, cpus * 100, 1, cpus)
+    wdf.select(_warm(col("id"))).count()
+    wdf.groupBy((col("id") % cpus).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]], "id long"
+    ).count()
+
     t0 = time.monotonic()
     res = image_dedup(
         imgs,

@@ -1,0 +1,229 @@
+"""spark-submit entry points mirroring the reference scripts.
+
+Reference CLI surface (utils/add_args.py + per-script mains):
+  minhash_spark.py            -> ``minhash``  (one-shot near-dedup)
+  minhash_spark_onlyHash.py   -> ``hash``     (stage A: signatures/bands)
+  minhash_spark_loadHashAndDedup.py -> ``dedup`` (stage B: global CC)
+  minhash_spark_onlyRemove.py -> ``remove``   (stage C: split kept/removed)
+  exact_hash.py               -> ``exact``
+  simhash.py                  -> ``simhash``
+  suffix_array.py             -> ``suffix``
+
+Usage:
+  spark-submit --py-files text_dedup_spark.zip -m text_dedup_spark.cli \\
+      minhash --input /path/in.parquet --output /path/out --column caption \\
+      --ngram_size 5 --num_perm 64 --threshold 0.7
+
+Inputs/outputs are parquet paths (an Iceberg table name works anywhere a
+path does when the session has an Iceberg catalog — sources/catalog.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from .config import MinHashConfig, SimHashConfig, SuffixConfig
+
+
+def _session(app: str) -> SparkSession:
+    from .sources.session import build_session
+
+    return build_session(app_name=app)
+
+
+def _read(spark: SparkSession, path: str):
+    return spark.read.parquet(path)
+
+
+def _add_minhash_args(p: argparse.ArgumentParser) -> None:
+    # names/defaults per utils/add_args.py:54-93
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.add_argument("--ngram_size", type=int, default=5)
+    p.add_argument("--num_perm", type=int, default=256)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--b", type=int, default=None)
+    p.add_argument("--r", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _minhash_cfg(args) -> MinHashConfig:
+    return MinHashConfig(
+        ngram_size=args.ngram_size,
+        num_perm=args.num_perm,
+        threshold=args.threshold,
+        b=args.b,
+        r=args.r,
+        seed=args.seed,
+    ).resolve()
+
+
+def cmd_minhash(args) -> None:
+    from .plans.minhash_pipeline import minhash_dedup
+
+    spark = _session("text-dedup-minhash")
+    df = _read(spark, args.input)
+    res = minhash_dedup(df, args.column, _minhash_cfg(args), id_col=args.id_column)
+    res.kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+    res.removed.write.mode("overwrite").parquet(f"{args.output}/removed")
+    res.assignments.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    spark.stop()
+
+
+def cmd_hash(args) -> None:
+    from .plans.staged import stage_hash
+    from .sources.catalog import ParquetCatalog
+
+    spark = _session("text-dedup-hash")
+    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    max_assigned = stage_hash(
+        catalog,
+        _read(spark, args.input),
+        args.column,
+        _minhash_cfg(args),
+        dataset=args.dataset,
+        start_id=args.start_id,
+    )
+    print(max_assigned)  # next dataset's --start_id is this + 1 (PREV_ID role)
+    spark.stop()
+
+
+def cmd_dedup(args) -> None:
+    from .plans.staged import stage_dedup
+    from .sources.catalog import ParquetCatalog
+
+    spark = _session("text-dedup-dedup")
+    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    stage_dedup(catalog, args.datasets)
+    spark.stop()
+
+
+def cmd_remove(args) -> None:
+    from .plans.staged import stage_remove
+    from .sources.catalog import ParquetCatalog
+
+    spark = _session("text-dedup-remove")
+    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    kept, removed = stage_remove(catalog, args.dataset)
+    print(f"kept={kept} removed={removed}")
+    spark.stop()
+
+
+def cmd_exact(args) -> None:
+    from .operators.exact import exact_dedup
+    from .operators.ids import ID, assign_unique_ids
+
+    spark = _session("text-dedup-exact")
+    df = _read(spark, args.input)
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    exact_dedup(df, args.column, id_col).write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+def cmd_simhash(args) -> None:
+    from .operators.apply import split_survivors
+    from .operators.ids import ID, assign_unique_ids
+    from .operators.simhash_dedup import simhash_assignments_from_text
+
+    spark = _session("text-dedup-simhash")
+    df = _read(spark, args.input)
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    cfg = SimHashConfig(
+        f=args.f, bit_diff=args.bit_diff, num_bucket=args.num_bucket, ngram=args.ngram
+    )
+    assigns = simhash_assignments_from_text(df, args.column, cfg, id_col)
+    kept, removed = split_survivors(df, assigns, id_col)
+    kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+    removed.write.mode("overwrite").parquet(f"{args.output}/removed")
+    spark.stop()
+
+
+def cmd_suffix(args) -> None:
+    from .operators.ids import ID, assign_unique_ids
+    from .operators.suffix import remove_duplicate_substrings
+
+    spark = _session("text-dedup-suffix")
+    df = _read(spark, args.input)
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    cfg = SuffixConfig(k=args.k, global_scope=args.global_scope)
+    out = remove_duplicate_substrings(df, args.column, cfg, id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    top = argparse.ArgumentParser(prog="text_dedup_spark")
+    sub = top.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("minhash", help="one-shot MinHash-LSH near-dedup")
+    _add_minhash_args(p)
+    p.set_defaults(fn=cmd_minhash)
+
+    p = sub.add_parser("hash", help="stage A: signatures/bands checkpoint")
+    _add_minhash_args(p)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--start_id", type=int, default=0)
+    p.set_defaults(fn=cmd_hash)
+
+    p = sub.add_parser("dedup", help="stage B: global connected components")
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--datasets", nargs="+", required=True)
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("remove", help="stage C: split kept/removed")
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--dataset", required=True)
+    p.set_defaults(fn=cmd_remove)
+
+    p = sub.add_parser("exact", help="exact-hash dedup")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.set_defaults(fn=cmd_exact)
+
+    p = sub.add_parser("simhash", help="SimHash near-dedup")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.add_argument("--f", type=int, default=64)
+    p.add_argument("--bit_diff", type=int, default=3)
+    p.add_argument("--num_bucket", type=int, default=4)
+    p.add_argument("--ngram", type=int, default=3)
+    p.set_defaults(fn=cmd_simhash)
+
+    p = sub.add_parser("suffix", help="duplicate-substring removal")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--global_scope", action="store_true")
+    p.set_defaults(fn=cmd_suffix)
+
+    return top
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -35,7 +35,7 @@ def band_rows(df: DataFrame, text_col: str, cfg: MinHashConfig, id_col: str = ID
         df.select(F.col(id_col), udf(F.col(text_col)).alias("__bands__"))
         .select(
             F.col(id_col),
-            F.posexplode("__bands__").alias("band", "band_hash"),
+            F.posexplode_outer("__bands__").alias("band", "band_hash"),
         )
     )
 

@@ -15,6 +15,7 @@ two-pass, operators/ids.py) and carried back out at the end.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import cached_property
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,16 +27,27 @@ from ..operators.cc import connected_components
 from ..operators.exact import exact_assignments
 from ..operators.ids import ID, assign_dense_ids
 from ..operators.lsh import band_rows, candidate_edges
-from ..operators.simhash_dedup import simhash_assignments_from_fingerprint
+from ..operators.simhash_dedup import simhash_edges
 
 
 @dataclass
 class ImageDedupResult:
-    corpus: DataFrame            # input + internal id
-    exact: DataFrame             # (id, component) on raw bytes
-    caption_clusters: DataFrame  # (id, component) MinHash over caption
-    image_clusters: DataFrame    # (id, component) Hamming over phash
-    kept: DataFrame              # survivors of the union of all three
+    corpus: DataFrame         # input + internal id
+    exact: DataFrame          # (id, component) on raw bytes (already final)
+    caption_edges: DataFrame  # MinHash candidate edges over caption
+    image_edges: DataFrame    # Hamming-verified edges over phash
+    kept: DataFrame           # survivors of the union of all three
+
+    # Per-modality cluster views run their own CC only when asked for —
+    # the survivor path needs just ONE CC over the unioned edges, so the
+    # three-CC serial chain never happens unless a caller wants each view.
+    @cached_property
+    def caption_clusters(self) -> DataFrame:
+        return connected_components(self.caption_edges, ID)
+
+    @cached_property
+    def image_clusters(self) -> DataFrame:
+        return connected_components(self.image_edges, ID)
 
 
 def image_dedup(
@@ -53,29 +65,32 @@ def image_dedup(
     from pyspark import StorageLevel
 
     # bands feed two shuffles (bucket-min + join back) — persist so the
-    # caption-signature UDF runs once; CC materializes edges eagerly
+    # caption-signature UDF runs once
     bands = band_rows(corpus, "caption", minhash_cfg, ID).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    caption_clusters = connected_components(candidate_edges(bands, ID), ID)
-    bands.unpersist()
+    caption_edges = candidate_edges(bands, ID)
 
-    image_clusters = simhash_assignments_from_fingerprint(
-        corpus, "phash", simhash_cfg, ID
+    image_edges = simhash_edges(
+        corpus.select(F.col(ID), F.col("phash").cast("long").alias("sig")),
+        simhash_cfg,
+        ID,
     )
 
-    # union of modalities -> one survivor set: an id removed by ANY modality
-    # is removed; re-running CC over the union keeps min-representatives
-    # consistent across overlapping clusters
+    # union of modalities -> ONE connected-components pass: an id removed by
+    # ANY modality is removed, and CC over the unioned edge set yields the
+    # same components as merging per-modality cluster tables (union-find is
+    # associative over edge unions) at a third of the iterative-join cost
     all_edges = (
-        exact.unionByName(caption_clusters)
-        .unionByName(image_clusters)
-        .select(F.col(ID).alias("src"), F.col("component").alias("dst"))
+        exact.select(F.col(ID).alias("src"), F.col("component").alias("dst"))
+        .unionByName(caption_edges)
+        .unionByName(image_edges)
     )
     merged = connected_components(all_edges, ID)
+    bands.unpersist()
     kept, _removed = split_survivors(corpus, merged, ID)
 
-    return ImageDedupResult(corpus, exact, caption_clusters, image_clusters, kept)
+    return ImageDedupResult(corpus, exact, caption_edges, image_edges, kept)
 
 
 def verify_fidelity(

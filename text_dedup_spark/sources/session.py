@@ -13,6 +13,10 @@ Why each setting (SURVEY.md §4):
   (all short docs share the all-MAX_HASH signature) stalls a task forever.
 - Arrow enabled: all Python kernels run as Arrow-batched pandas UDFs, never
   per-row Python (north rule).
+- BLAS threads pinned to 1: each of N Python workers would otherwise spawn
+  one OpenBLAS thread PER CORE for every numpy matmul (N x cores threads
+  total) — measured 2x slowdown at local[32] vs local[8] from exactly this.
+  Spark owns the parallelism; kernels must be single-threaded.
 """
 
 from __future__ import annotations
@@ -28,6 +32,11 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # one BLAS/OMP thread per worker: Spark supplies the parallelism
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -47,6 +56,11 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # real-cluster path for the same BLAS pinning (local mode inherits
+        # the os.environ set above through the gateway JVM)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
