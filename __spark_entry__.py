@@ -191,6 +191,64 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, 10, nbits=10, n_tables=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from text_dedup_spark.operators.ann import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, 10, n_centroids=32, n_probe=8)
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization: per-user sessions split at >30-min gaps; top-20
+    longest sessions by event count (ties broken by user/session start)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = gapped.withColumn(
+        "session_no", F.sum("new_session").over(w).cast("long")
+    )
+    agg = sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+    w2 = Window.orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("session_start"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rnk") <= 20)
+        .select("user_id", "session_no", "n_events", "session_start", "rnk")
+    )
+
+
+def q_dup_ratio_by_lang(spark, sf_dir):
+    """Share of exact-duplicate rows per language over the planted-dup
+    corpus — the per-slice dedup audit a training pipeline reports."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    clone = d.select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "lang", "text"
+    )
+    u = d.unionByName(clone)
+    hashed = u.select("lang", F.md5("text").alias("h"))
+    per_hash = hashed.groupBy("lang", "h").agg(F.count(F.lit(1)).alias("n"))
+    return per_hash.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("n_dup_rows"),
+        F.round(
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
 def q_image_phash_dedup(spark, sf_dir):
     """Multimodal path: deterministic synthetic image table -> phash
     Hamming<=3 dedup (Catalyst bit-rotation bucketing) -> clusters keyed by
@@ -257,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_cleaned": q_suffix_cleaned,
         "langid_counts": q_langid_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "event_sessions": q_event_sessions,
+        "dup_ratio_by_lang": q_dup_ratio_by_lang,
         "image_phash_dedup": q_image_phash_dedup,
         "image_meta": q_image_meta,
     }
@@ -368,5 +429,42 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a, embeddings b
               WHERE a.vec_id < b.vec_id
             ) WHERE score >= 0.47
+        """,
+        "event_sessions": """
+            WITH gapped AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+              FROM gapped
+            ),
+            agg AS (
+              SELECT user_id, session_no, count(*) AS n_events, min(ts) AS session_start
+              FROM sess GROUP BY user_id, session_no
+            )
+            SELECT user_id, session_no, n_events, session_start, rnk FROM (
+              SELECT *, row_number() OVER (ORDER BY n_events DESC, user_id, session_start) AS rnk
+              FROM agg
+            ) WHERE rnk <= 20
+        """,
+        "dup_ratio_by_lang": f"""
+            WITH u AS (
+              SELECT lang, text FROM documents
+              UNION ALL
+              SELECT lang, text FROM documents
+            ),
+            per_hash AS (
+              SELECT lang, md5(text) AS h, count(*) AS n FROM u GROUP BY lang, h
+            )
+            SELECT lang,
+                   sum(n) AS n_docs,
+                   sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dup_rows,
+                   round((sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::DOUBLE / sum(n)), 6) AS dup_ratio
+            FROM per_hash GROUP BY lang
         """,
     }

@@ -1,0 +1,73 @@
+"""CLI smoke tests: every subcommand drives the real operators end-to-end
+over a tiny parquet corpus (same surface as the reference's spark-submit
+scripts, SURVEY §2.1/§3.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_dedup_spark import cli
+from tests.conftest import synth_corpus
+
+
+@pytest.fixture()
+def corpus_path(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        synth_corpus(60, seed=7), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(argv):
+    # cli reuses the active pytest session and leaves it running
+    cli.main(argv)
+
+
+def test_cli_minhash_one_shot(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "out")
+    _run([
+        "minhash", "--input", corpus_path, "--output", out,
+        "--column", "text", "--id_column", "doc_id",
+        "--ngram_size", "3", "--num_perm", "16", "--threshold", "0.7",
+    ])
+    kept = spark.read.parquet(f"{out}/kept")
+    clusters = spark.read.parquet(f"{out}/clusters")
+    total = spark.read.parquet(corpus_path).count()
+    assert kept.count() + clusters.count() == total
+
+
+def test_cli_staged_hash_dedup_remove(spark, corpus_path, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--column", "text", "--ngram_size", "3", "--num_perm", "16",
+              "--threshold", "0.7", "--checkpoint_dir", ckpt]
+    _run(["hash", "--input", corpus_path, "--dataset", "ds1", *common])
+    _run(["dedup", "--checkpoint_dir", ckpt, "--datasets", "ds1"])
+    _run(["remove", "--checkpoint_dir", ckpt, "--dataset", "ds1"])
+    kept = spark.read.parquet(f"{ckpt}/ds1__kept")
+    removed = spark.read.parquet(f"{ckpt}/ds1__removed")
+    assert kept.count() + removed.count() == spark.read.parquet(corpus_path).count()
+    assert removed.count() > 0  # planted dups exist
+
+
+def test_cli_exact_and_suffix(spark, corpus_path, tmp_path):
+    out1 = str(tmp_path / "exact_out")
+    _run(["exact", "--input", corpus_path, "--output", out1,
+          "--column", "text", "--id_column", "doc_id"])
+    n_exact = spark.read.parquet(out1).count()
+    assert 0 < n_exact <= spark.read.parquet(corpus_path).count()
+
+    out2 = str(tmp_path / "suffix_out")
+    _run(["suffix", "--input", corpus_path, "--output", out2,
+          "--column", "text", "--id_column", "doc_id", "--k", "20",
+          "--global_scope"])
+    assert spark.read.parquet(out2).count() > 0
+
+
+def test_cli_simhash(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "sim_out")
+    _run(["simhash", "--input", corpus_path, "--output", out,
+          "--column", "text", "--id_column", "doc_id"])
+    kept = spark.read.parquet(f"{out}/kept")
+    removed = spark.read.parquet(f"{out}/removed")
+    assert kept.count() + removed.count() == spark.read.parquet(corpus_path).count()

@@ -28,10 +28,16 @@ from pyspark.sql import SparkSession
 from .config import MinHashConfig, SimHashConfig, SuffixConfig
 
 
-def _session(app: str) -> SparkSession:
+def _session(app: str) -> tuple[SparkSession, bool]:
+    """(session, owned): reuse an already-active session (e.g. under
+    pytest or a notebook) without stopping it on exit; own and stop the
+    one we create under spark-submit."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active, False
     from .sources.session import build_session
 
-    return build_session(app_name=app)
+    return build_session(app_name=app), True
 
 
 def _read(spark: SparkSession, path: str):
@@ -66,20 +72,21 @@ def _minhash_cfg(args) -> MinHashConfig:
 def cmd_minhash(args) -> None:
     from .plans.minhash_pipeline import minhash_dedup
 
-    spark = _session("text-dedup-minhash")
+    spark, _own = _session("text-dedup-minhash")
     df = _read(spark, args.input)
     res = minhash_dedup(df, args.column, _minhash_cfg(args), id_col=args.id_column)
     res.kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     res.removed.write.mode("overwrite").parquet(f"{args.output}/removed")
     res.assignments.write.mode("overwrite").parquet(f"{args.output}/clusters")
-    spark.stop()
+    if _own:
+        spark.stop()
 
 
 def cmd_hash(args) -> None:
     from .plans.staged import stage_hash
     from .sources.catalog import ParquetCatalog
 
-    spark = _session("text-dedup-hash")
+    spark, _own = _session("text-dedup-hash")
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
     max_assigned = stage_hash(
         catalog,
@@ -90,42 +97,46 @@ def cmd_hash(args) -> None:
         start_id=args.start_id,
     )
     print(max_assigned)  # next dataset's --start_id is this + 1 (PREV_ID role)
-    spark.stop()
+    if _own:
+        spark.stop()
 
 
 def cmd_dedup(args) -> None:
     from .plans.staged import stage_dedup
     from .sources.catalog import ParquetCatalog
 
-    spark = _session("text-dedup-dedup")
+    spark, _own = _session("text-dedup-dedup")
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
     stage_dedup(catalog, args.datasets)
-    spark.stop()
+    if _own:
+        spark.stop()
 
 
 def cmd_remove(args) -> None:
     from .plans.staged import stage_remove
     from .sources.catalog import ParquetCatalog
 
-    spark = _session("text-dedup-remove")
+    spark, _own = _session("text-dedup-remove")
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
     kept, removed = stage_remove(catalog, args.dataset)
     print(f"kept={kept} removed={removed}")
-    spark.stop()
+    if _own:
+        spark.stop()
 
 
 def cmd_exact(args) -> None:
     from .operators.exact import exact_dedup
     from .operators.ids import ID, assign_unique_ids
 
-    spark = _session("text-dedup-exact")
+    spark, _own = _session("text-dedup-exact")
     df = _read(spark, args.input)
     id_col = args.id_column
     if id_col is None:
         df = assign_unique_ids(df, ID)
         id_col = ID
     exact_dedup(df, args.column, id_col).write.mode("overwrite").parquet(args.output)
-    spark.stop()
+    if _own:
+        spark.stop()
 
 
 def cmd_simhash(args) -> None:
@@ -133,7 +144,7 @@ def cmd_simhash(args) -> None:
     from .operators.ids import ID, assign_unique_ids
     from .operators.simhash_dedup import simhash_assignments_from_text
 
-    spark = _session("text-dedup-simhash")
+    spark, _own = _session("text-dedup-simhash")
     df = _read(spark, args.input)
     id_col = args.id_column
     if id_col is None:
@@ -146,14 +157,15 @@ def cmd_simhash(args) -> None:
     kept, removed = split_survivors(df, assigns, id_col)
     kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     removed.write.mode("overwrite").parquet(f"{args.output}/removed")
-    spark.stop()
+    if _own:
+        spark.stop()
 
 
 def cmd_suffix(args) -> None:
     from .operators.ids import ID, assign_unique_ids
     from .operators.suffix import remove_duplicate_substrings
 
-    spark = _session("text-dedup-suffix")
+    spark, _own = _session("text-dedup-suffix")
     df = _read(spark, args.input)
     id_col = args.id_column
     if id_col is None:
@@ -162,7 +174,8 @@ def cmd_suffix(args) -> None:
     cfg = SuffixConfig(k=args.k, global_scope=args.global_scope)
     out = remove_duplicate_substrings(df, args.column, cfg, id_col)
     out.write.mode("overwrite").parquet(args.output)
-    spark.stop()
+    if _own:
+        spark.stop()
 
 
 def build_parser() -> argparse.ArgumentParser:
