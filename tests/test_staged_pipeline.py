@@ -72,7 +72,7 @@ def test_split_vs_merged_hash_fidelity(spark, catalog):
     corpus, inputs = _inputs(spark)
     run_staged(catalog, inputs, "text", CFG)
     split_bands = {
-        (r[ID], r["band"], bytes(r["band_hash"]))
+        (r[ID], r["band"], r["band_hash"])
         for ds in inputs
         for r in catalog.read(bands_name(ds)).collect()
     }
@@ -80,7 +80,7 @@ def test_split_vs_merged_hash_fidelity(spark, catalog):
         catalog.read(withid_name("b"))
     )
     merged_bands = {
-        (r[ID], r["band"], bytes(r["band_hash"]))
+        (r[ID], r["band"], r["band_hash"])
         for r in band_rows(merged_corpus, "text", CFG, ID).collect()
     }
     assert split_bands == merged_bands

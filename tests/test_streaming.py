@@ -76,11 +76,11 @@ def test_streaming_band_rows_match_batch(spark, tmp_path):
         streaming_band_rows(stream, "text", CFG, "doc_id"), tmp_path, "bands_stream"
     )
     got = {
-        (r["doc_id"], r["band"], bytes(r["band_hash"]))
+        (r["doc_id"], r["band"], r["band_hash"])
         for r in spark.sql("SELECT * FROM bands_stream").collect()
     }
     batch = {
-        (r["doc_id"], r["band"], bytes(r["band_hash"]))
+        (r["doc_id"], r["band"], r["band_hash"])
         for r in band_rows(
             spark.createDataFrame(rows, SCHEMA), "text", CFG, "doc_id"
         ).collect()

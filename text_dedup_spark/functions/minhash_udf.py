@@ -58,7 +58,9 @@ def make_signature_udf(cfg: MinHashConfig):
         sigs = minhash_signatures_batch(
             texts.tolist(), num_perm, ngram_size, permutations, token_cache={}
         )
-        return pd.Series([sig.view(np.int64).tolist() for sig in sigs])
+        # list of numpy int64 row-views: Arrow converts ndarray elements
+        # directly, avoiding 64 python ints per row
+        return pd.Series(list(sigs.view(np.int64)))
 
     return signature
 

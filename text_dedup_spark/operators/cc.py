@@ -97,11 +97,17 @@ def connected_components(
     a = a.localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
-        b = _large_star(a).localCheckpoint(eager=True)
-        new_a = _small_star(b).localCheckpoint(eager=True)
-        a.unpersist()
+        # LAZY checkpoints: the fingerprint action below materializes
+        # large-star, small-star, AND the convergence check in ONE job per
+        # iteration (vs three with eager checkpoints) — the CC loop is the
+        # serial section of the whole pipeline, so job-count is its cost.
+        # Lineage still truncates at the checkpoint once materialized.
+        b = _large_star(a).localCheckpoint(eager=False)
+        new_a = _small_star(b).localCheckpoint(eager=False)
+        old_a = a
         a = new_a
         fp_a, fp_b = _fingerprints2(a, b)
+        old_a.unpersist()
         b.unpersist()
         # reference loop stops when small-star output == large-star output as
         # sets (minhash_spark.py:374-379); multiset fingerprints of the two

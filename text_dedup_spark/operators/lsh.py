@@ -24,19 +24,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import MinHashConfig
-from ..functions.minhash_udf import make_band_hashes_udf
 from .ids import ID
 
 
+def band_keys_expr(sig_col, cfg: MinHashConfig):
+    """array<long> of B band keys from an array<long> signature column —
+    pure Catalyst (whole-stage codegen), no Python.
+
+    The reference's band key is the big-endian byte serialization of the
+    signature slice (minhash_spark.py:155) used ONLY for equality grouping;
+    any injective-up-to-negligible-collision function of (band_idx, slice)
+    yields identical buckets, so we take xxhash64 over the slice elements —
+    an 8-byte shuffle key instead of r*8 bytes. (xxhash64 collisions, ~1e-7
+    at 10^9 band rows, can only ADD a candidate pair — MinHash-LSH already
+    produces false-positive candidates at a vastly higher rate by design.)
+    """
+    cfg = cfg.resolve()
+    keys = []
+    for bi, (start, end) in enumerate(cfg.ranges):
+        elems = [F.element_at(sig_col, start + i + 1) for i in range(end - start)]
+        keys.append(F.xxhash64(F.lit(bi), *elems))
+    return F.array(*keys)
+
+
 def band_rows(df: DataFrame, text_col: str, cfg: MinHashConfig, id_col: str = ID) -> DataFrame:
-    """(id, band:int, band_hash:binary) — one row per (document, band)."""
-    udf = make_band_hashes_udf(cfg)
-    return (
-        df.select(F.col(id_col), udf(F.col(text_col)).alias("__bands__"))
-        .select(
-            F.col(id_col),
-            F.posexplode_outer("__bands__").alias("band", "band_hash"),
-        )
+    """(id, band:int, band_hash:long) — one row per (document, band).
+
+    The pandas UDF emits only the raw uint64 signature (numpy -> Arrow, no
+    per-row Python banding); slicing + band-key hashing happen JVM-side in
+    codegen (band_keys_expr). Works on batch and streaming frames alike.
+    """
+    from ..functions.minhash_udf import make_signature_udf
+
+    sig_udf = make_signature_udf(cfg)
+    sigs = df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("__sig__"))
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode_outer(band_keys_expr(F.col("__sig__"), cfg)).alias(
+            "band", "band_hash"
+        ),
     )
 
 

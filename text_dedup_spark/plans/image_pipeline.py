@@ -54,11 +54,28 @@ def image_dedup(
     df: DataFrame,
     minhash_cfg: MinHashConfig | None = None,
     simhash_cfg: SimHashConfig | None = None,
+    phash_source: str = "column",
 ) -> ImageDedupResult:
+    """``phash_source``: 'column' trusts the stored phash int64;
+    'pixels' recomputes it from the image bytes with the Arrow-batched
+    decode UDF (functions/image_udf.phash_from_bytes) — the north-star
+    "perceptual features from pixels" path; identical output for inputs
+    whose stored phash was derived from the same pixels."""
     minhash_cfg = (minhash_cfg or MinHashConfig()).resolve()
     simhash_cfg = simhash_cfg or SimHashConfig()
 
-    corpus = assign_dense_ids(df, ID).persist()
+    stamped = assign_dense_ids(df, ID)
+    if phash_source == "pixels":
+        from ..functions.image_udf import phash_from_bytes
+
+        # before the persist: the decode UDF must run once, not once per
+        # downstream consumer
+        stamped = stamped.drop("phash").withColumn(
+            "phash", phash_from_bytes(F.col("bytes"), F.col("fmt"))
+        )
+    elif phash_source != "column":
+        raise ValueError(f"unknown phash_source {phash_source!r}")
+    corpus = stamped.persist()
 
     exact = exact_assignments(corpus, "bytes", ID, algo="sha256")
 

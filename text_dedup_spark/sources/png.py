@@ -35,7 +35,8 @@ def encode_png(arr: np.ndarray) -> bytes:
     h, w, _ = arr.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-    idat = zlib.compress(raw, 6)
+    idat = zlib.compress(raw, 1)  # level 1: synthetic fixtures favor
+    # generation speed; decode is level-agnostic
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import MinHashConfig
-from ..functions.minhash_udf import make_band_hashes_udf, make_signature_udf
+from ..functions.minhash_udf import make_signature_udf
 from ..operators.exact import content_hash
 from ..operators.ids import ID
 
@@ -75,10 +75,10 @@ def streaming_band_rows(
     cfg: MinHashConfig,
     id_col: str = ID,
 ) -> DataFrame:
-    """(id, band, band_hash) rows per streamed document — the streaming
-    twin of operators/lsh.band_rows, appendable to the bands checkpoint
-    table consumed by the batch stage_dedup."""
-    udf = make_band_hashes_udf(cfg)
-    return stream.select(
-        F.col(id_col), udf(F.col(text_col)).alias("__bands__")
-    ).select(F.col(id_col), F.posexplode_outer("__bands__").alias("band", "band_hash"))
+    """(id, band, band_hash) rows per streamed document — literally the
+    batch operator applied to the streaming frame (stateless select +
+    explode), appendable to the bands checkpoint table consumed by the
+    batch stage_dedup."""
+    from ..operators.lsh import band_rows
+
+    return band_rows(stream, text_col, cfg, id_col)
