@@ -1,0 +1,210 @@
+"""Multimodal (audio/video) column plumbing.
+
+The engine treats non-image media exactly like images (BASELINE.json
+input_hint pattern): an opaque ``binary`` payload column + typed metadata
+columns, processed by Arrow-batched pandas UDFs over ``mapInPandas``. The
+image path (functions/image_udf.py) is fully real (pure-numpy PNG codec);
+audio/video codecs are NOT available in this environment, so the decode
+step is stubbed two ways:
+
+- ``decode_audio`` / ``decode_video_frames`` raise ``NotImplementedError``
+  unless a real backend (soundfile / av) is importable — the clearly-marked
+  stub the integration point expects;
+- ``fake_pcm`` / ``fake_frames`` provide a deterministic stand-in container
+  (header + raw samples) so the Spark-side plumbing — schemas, batching,
+  partitioning, UDF signatures — is exercised end-to-end by real tests.
+
+Fingerprinting reuses the engine's existing machinery: an audio clip or
+video frame-sample reduces to a 64-bit perceptual fingerprint that feeds
+the same SimHash Hamming bucketing used for phash
+(operators/simhash_dedup.simhash_assignments_from_fingerprint).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_FAKE_AUDIO_MAGIC = b"FPCM"
+_FAKE_VIDEO_MAGIC = b"FVID"
+
+
+# --- deterministic fake containers (tests / sandbox) ------------------------
+
+
+def fake_pcm(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> deterministic container bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    return _FAKE_AUDIO_MAGIC + struct.pack("<II", rate, len(s)) + zlib.compress(s.tobytes(), 1)
+
+
+def fake_frames(frames: np.ndarray) -> bytes:
+    """uint8 (n, h, w) grayscale frames -> deterministic container bytes."""
+    f = np.asarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    return _FAKE_VIDEO_MAGIC + struct.pack("<III", n, h, w) + zlib.compress(f.tobytes(), 1)
+
+
+# --- decode (stubbed behind import-try) -------------------------------------
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """bytes -> (int16 samples, sample_rate). Real codecs unavailable here;
+    the deterministic fake container always decodes."""
+    if data[:4] == _FAKE_AUDIO_MAGIC:
+        rate, n = struct.unpack("<II", data[4:12])
+        return np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n], rate
+    try:  # pragma: no cover - backend not in this environment
+        import soundfile  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real audio decoding needs the 'soundfile' backend; only the "
+            "deterministic FPCM test container decodes in this environment"
+        ) from None
+    raise NotImplementedError("real-codec path not wired")  # pragma: no cover
+
+
+def decode_video_frames(data: bytes) -> np.ndarray:
+    """bytes -> uint8 (n, h, w) frames. Same stub contract as decode_audio."""
+    if data[:4] == _FAKE_VIDEO_MAGIC:
+        n, h, w = struct.unpack("<III", data[4:16])
+        return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)
+    try:  # pragma: no cover
+        import av  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real video decoding needs the 'av' backend; only the "
+            "deterministic FVID test container decodes in this environment"
+        ) from None
+    raise NotImplementedError("real-codec path not wired")  # pragma: no cover
+
+
+# --- fingerprints (pure numpy, reuse SimHash machinery downstream) ----------
+
+
+def audio_fingerprint64(samples: np.ndarray, rate: int) -> int:
+    """64-bit spectral-band fingerprint: 64 equal slices -> per-slice energy
+    -> bit = energy above running median. Deterministic, robust to gain."""
+    s = np.asarray(samples, dtype=np.float64)
+    if len(s) == 0:
+        return 0
+    slices = np.array_split(s, 64)
+    energy = np.array([float((x * x).mean()) if len(x) else 0.0 for x in slices])
+    bits = (energy > np.median(energy)).astype(np.uint64)
+    return int(sum(b << np.uint64(i) for i, b in enumerate(bits)))
+
+
+def frames_fingerprint64(frames: np.ndarray) -> int:
+    """64-bit video fingerprint: temporal-mean frame -> 8x8 block means ->
+    bit = block above mean (a temporal aHash)."""
+    if frames.size == 0:
+        return 0
+    mean_frame = frames.astype(np.float64).mean(axis=0)
+    h, w = mean_frame.shape
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    blocks = mean_frame[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
+    return int(sum(b << np.uint64(i) for i, b in enumerate(bits)))
+
+
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+AUDIO_META = StructType(
+    [
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+VIDEO_META = StructType(
+    [
+        StructField("n_frames", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("vfp", LongType()),
+    ]
+)
+
+
+def audio_meta_table(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """mapInPandas: decode + meta + fingerprint per clip. Schema = input
+    columns minus payload, plus AUDIO_META fields (payload dropped early —
+    never shuffle opaque bytes you no longer need)."""
+    out_fields = [f for f in df.schema.fields if f.name != bytes_col]
+    schema = StructType(out_fields + list(AUDIO_META.fields))
+    keep = [f.name for f in out_fields]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples, rate = decode_audio(bytes(row[bytes_col]))
+                rows.append(
+                    {
+                        **{k: row[k] for k in keep},
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "duration_sec": len(samples) / rate if rate else 0.0,
+                        "afp": _signed64(audio_fingerprint64(samples, rate)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(process, schema)
+
+
+def video_meta_table(
+    df: DataFrame, bytes_col: str = "bytes", sample_every: int = 1
+) -> DataFrame:
+    """mapInPandas: frame-sample (every Nth frame) + meta + fingerprint."""
+    out_fields = [f for f in df.schema.fields if f.name != bytes_col]
+    schema = StructType(out_fields + list(VIDEO_META.fields))
+    keep = [f.name for f in out_fields]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                frames = decode_video_frames(bytes(row[bytes_col]))
+                sampled = frames[::sample_every]
+                rows.append(
+                    {
+                        **{k: row[k] for k in keep},
+                        "n_frames": int(frames.shape[0]),
+                        "height": int(frames.shape[1]),
+                        "width": int(frames.shape[2]),
+                        "vfp": _signed64(frames_fingerprint64(sampled)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(process, schema)
+
+
+def media_near_dup_assignments(
+    meta: DataFrame, fp_col: str, id_col: str, bit_diff: int = 3
+) -> DataFrame:
+    """Near-dup clustering over any 64-bit media fingerprint column —
+    literally the phash path (Catalyst bucketing + Hamming verify + CC)."""
+    from ..config import SimHashConfig
+    from ..operators.simhash_dedup import simhash_assignments_from_fingerprint
+
+    cfg = SimHashConfig(f=64, bit_diff=bit_diff, num_bucket=4, ngram=3)
+    return simhash_assignments_from_fingerprint(meta, fp_col, cfg, id_col)

@@ -40,20 +40,22 @@ def assign_dense_ids(df: DataFrame, id_col: str = ID, start: int = 0) -> DataFra
     pid = "__pid__"
     with_pid = df.withColumn(pid, F.spark_partition_id())
     counts = with_pid.groupBy(pid).count().collect()  # tiny: one row/partition
-    offsets = {}
+    offsets = []
     acc = start
     for row in sorted(counts, key=lambda r: r[pid]):
-        offsets[row[pid]] = acc
+        offsets.append((row[pid], acc))
         acc += row["count"]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # broadcast-joined offset table (NOT a create_map literal: at 10^5+
+    # partitions a literal map bloats the plan tree; a broadcast join stays
+    # O(1) in plan size)
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, f"{pid} int, __offset__ long"
     )
     w = Window.partitionBy(pid).orderBy(F.monotonically_increasing_id())
     return (
-        with_pid.withColumn(
-            id_col, offset_map[F.col(pid)] + F.row_number().over(w) - 1
-        )
-        .drop(pid)
+        with_pid.join(F.broadcast(offsets_df), pid)
+        .withColumn(id_col, F.col("__offset__") + F.row_number().over(w) - 1)
+        .drop(pid, "__offset__")
     )
 
 
