@@ -22,10 +22,15 @@ from .ids import ID
 
 
 def split_survivors(
-    df: DataFrame, assignments: DataFrame, id_col: str = ID
+    df: DataFrame, assignments: DataFrame, id_col: str = ID, broadcast: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (kept, removed)."""
+    """Returns (kept, removed). ``broadcast=True`` hints the duplicate-id
+    side — use when the corpus rows are wide (raw payload bytes) and the
+    duplicate set is known to fit in executor memory, so the corpus never
+    shuffles for the split."""
     dup_ids = assignments.select(id_col)
+    if broadcast:
+        dup_ids = F.broadcast(dup_ids)
     kept = df.join(dup_ids, on=id_col, how="left_anti")
     removed = df.join(dup_ids, on=id_col, how="left_semi")
     return kept, removed

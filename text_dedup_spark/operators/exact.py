@@ -23,11 +23,15 @@ from .ids import ID
 
 def content_hash(col, algo: str = "md5"):
     """Hash expression for a string/binary column. md5 matches the reference
-    default (exact_hash.py:45); sha256 offered for collision-paranoid runs."""
+    default (exact_hash.py:45); sha256 offered for collision-paranoid runs;
+    'precomputed' passes the column through (it already holds the hash —
+    the compute-early-shuffle-small pattern)."""
     if algo == "md5":
         return F.md5(col)
     if algo in ("sha256", "sha2"):
         return F.sha2(col, 256)
+    if algo == "precomputed":
+        return col
     raise ValueError(f"unknown hash algo {algo!r}")
 
 

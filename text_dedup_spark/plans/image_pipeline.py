@@ -25,7 +25,7 @@ from ..functions.image_udf import pixel_psnr
 from ..operators.apply import split_survivors, with_cluster
 from ..operators.cc import connected_components
 from ..operators.exact import exact_assignments
-from ..operators.ids import ID, assign_dense_ids
+from ..operators.ids import ID
 from ..operators.lsh import band_rows, candidate_edges
 from ..operators.simhash_dedup import simhash_edges
 
@@ -64,32 +64,49 @@ def image_dedup(
     minhash_cfg = (minhash_cfg or MinHashConfig()).resolve()
     simhash_cfg = simhash_cfg or SimHashConfig()
 
-    stamped = assign_dense_ids(df, ID)
+    if phash_source not in ("column", "pixels"):
+        raise ValueError(f"unknown phash_source {phash_source!r}")
+    # Compute early, shuffle small: every per-row feature (content hash,
+    # perceptual hash, caption) is derived IN the scan partitions, the
+    # multi-KB ``bytes`` payload never crosses a shuffle, and the id is
+    # xxhash64(image_id) — content-stable and shuffle-free, where a dense
+    # row_number id would exchange the full rows just to stamp them.
+    # (Hash-id collision: ~n^2/2^65 — 1.5e-9 at 240k rows, ~3% odds of ONE
+    # collision at 10^12, which would spuriously merge two docs; the staged
+    # text pipeline keeps dense ids for the reference's PREV_ID contract.)
     if phash_source == "pixels":
         from ..functions.image_udf import phash_from_bytes
 
-        # before the persist: the decode UDF must run once, not once per
-        # downstream consumer
-        stamped = stamped.drop("phash").withColumn(
-            "phash", phash_from_bytes(F.col("bytes"), F.col("fmt"))
-        )
-    elif phash_source != "column":
-        raise ValueError(f"unknown phash_source {phash_source!r}")
-    corpus = stamped.persist()
+        phash_col = phash_from_bytes(F.col("bytes"), F.col("fmt"))
+    else:
+        phash_col = F.col("phash").cast("long")
 
-    exact = exact_assignments(corpus, "bytes", ID, algo="sha256")
+    corpus = df.withColumn(ID, F.xxhash64("image_id"))
+    feats = corpus.select(
+        F.col(ID),
+        F.sha2(F.col("bytes"), 256).alias("__bhash__"),
+        phash_col.alias("__phash__"),
+        F.col("caption"),
+    ).persist()
+    feats.count()  # one pass over the raw bytes; materialized before the
+    # three modality branches fork (lazy persist would convoy them on
+    # per-partition cache locks)
+
+    exact = exact_assignments(feats, "__bhash__", ID, algo="precomputed")
 
     from pyspark import StorageLevel
 
-    # bands feed two shuffles (bucket-min + join back) — persist so the
-    # caption-signature UDF runs once
-    bands = band_rows(corpus, "caption", minhash_cfg, ID).persist(
+    # bands feed two shuffles (bucket-min + join back) — persist AND
+    # materialize so the caption-signature UDF runs once and its two
+    # consumers read a warm cache instead of convoying on partition locks
+    bands = band_rows(feats, "caption", minhash_cfg, ID).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    bands.count()
     caption_edges = candidate_edges(bands, ID)
 
     image_edges = simhash_edges(
-        corpus.select(F.col(ID), F.col("phash").cast("long").alias("sig")),
+        feats.select(F.col(ID), F.col("__phash__").alias("sig")),
         simhash_cfg,
         ID,
     )
@@ -105,7 +122,12 @@ def image_dedup(
     )
     merged = connected_components(all_edges, ID)
     bands.unpersist()
-    kept, _removed = split_survivors(corpus, merged, ID)
+    feats.unpersist()
+    # broadcast the duplicate-id side: the corpus side carries the raw
+    # bytes and must NOT shuffle for this join. (At full 10^12 scale a
+    # duplicate-id table can outgrow broadcast — there, split with
+    # broadcast=False and let AQE plan the shuffle join.)
+    kept, _removed = split_survivors(corpus, merged, ID, broadcast=True)
 
     return ImageDedupResult(corpus, exact, caption_edges, image_edges, kept)
 

@@ -56,6 +56,12 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # off: (a) Spark 4.1's UnionBase.rewriteConstraints throws
+        # NoSuchElementException planning unions whose children share
+        # lineage (our 3-modality edge union); (b) constraint propagation
+        # is quadratic in plan size — a known cost on large iterative
+        # plans like the CC loop. We lose only inferred IsNotNull pushdowns.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # real-cluster path for the same BLAS pinning (local mode inherits
         # the os.environ set above through the gateway JVM)
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
