@@ -272,6 +272,31 @@ def q_image_phash_dedup(spark, sf_dir):
     )
 
 
+def q_audio_near_dup(spark, sf_dir):
+    """Audio modality: deterministic synthetic clips (opaque binary) ->
+    mapInPandas decode+fingerprint -> SimHash Hamming clustering; returns
+    (clip_id, rep_clip_id) memberships."""
+    from text_dedup_spark.functions.media_udf import (
+        audio_meta_table,
+        media_near_dup_assignments,
+    )
+    from text_dedup_spark.sources.synth import audio_table
+
+    clips = audio_table(spark, 250, seed=42).withColumn(
+        "__id__", F.xxhash64("clip_id")
+    )
+    meta = audio_meta_table(clips.select("clip_id", "__id__", "bytes"))
+    assigns = media_near_dup_assignments(meta, "afp", "__id__", bit_diff=3)
+    idmap = meta.select("__id__", "clip_id")
+    rep = idmap.select(
+        F.col("__id__").alias("component"), F.col("clip_id").alias("rep_clip_id")
+    )
+    return (
+        assigns.join(idmap, "__id__").join(rep, "component")
+        .select("clip_id", "rep_clip_id")
+    )
+
+
 def q_image_meta(spark, sf_dir):
     from text_dedup_spark.functions.image_udf import image_meta
     from text_dedup_spark.sources.synth import images_table
@@ -320,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ratio_by_lang": q_dup_ratio_by_lang,
         "image_phash_dedup": q_image_phash_dedup,
         "image_meta": q_image_meta,
+        "audio_near_dup": q_audio_near_dup,
     }
 
 

@@ -8,8 +8,10 @@ Three modalities, one id space, one clustering contract:
 plus per-row fidelity verification (decoded-pixel PSNR + caption equality)
 for any transformed output.
 
-The string image_id is mapped to a dense internal int64 once (scalable
-two-pass, operators/ids.py) and carried back out at the end.
+The internal int64 id is xxhash64(image_id): content-stable, shuffle-free,
+and identical across parallelism levels (a dense row_number id would cost a
+full-row exchange just to stamp rows; the staged text pipeline keeps dense
+ids where the reference's PREV_ID contract needs them).
 """
 
 from __future__ import annotations

@@ -218,3 +218,55 @@ def _build(spark: SparkSession, n_rows: int, seed: int, which: str) -> DataFrame
 
     groups = spark.range(n_groups).repartition(max(2, min(64, n_groups)))
     return groups.mapInPandas(gen, schema)
+
+
+# --- synthetic audio clips (opaque-binary modality, FPCM container) ---------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def audio_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic audio table: groups of 5 clips with planted
+    duplicates (slot 0 anchor, slot 1 exact dup, slot 2 near-dup [tiny
+    additive noise, fingerprint-stable], slots 3-4 singletons). Same
+    distributed mapInPandas generation scheme as images_table."""
+    from ..functions.media_udf import fake_pcm
+
+    n_groups = (n_rows + 4) // 5
+    rate, n_samp = 8000, 4000
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 999983 + int(g)) % (1 << 31))
+                base_id = int(g) * 5
+                anchor = (rng.randn(n_samp) * 1200).astype(np.int16)
+
+                def emit(slot, samples):
+                    rows.append(
+                        {
+                            "clip_id": f"clip-{base_id + slot:010d}",
+                            "bytes": fake_pcm(samples, rate),
+                            "sample_rate": rate,
+                            "n_samples": n_samp,
+                        }
+                    )
+
+                emit(0, anchor)
+                emit(1, anchor)  # exact duplicate
+                noise = rng.randint(-2, 3, size=n_samp).astype(np.int16)
+                emit(2, (anchor + noise).astype(np.int16))  # near-dup
+                emit(3, (rng.randn(n_samp) * 1200).astype(np.int16))
+                emit(4, (rng.randn(n_samp) * 1200).astype(np.int16))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    groups = spark.range(n_groups).repartition(max(2, min(64, n_groups)))
+    return groups.mapInPandas(gen, AUDIO_SCHEMA)
