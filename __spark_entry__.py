@@ -209,7 +209,7 @@ def q_event_sessions(spark, sf_dir):
     gapped = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

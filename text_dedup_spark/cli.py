@@ -44,10 +44,11 @@ def _read(spark: SparkSession, path: str):
     return spark.read.parquet(path)
 
 
-def _add_minhash_args(p: argparse.ArgumentParser) -> None:
+def _add_minhash_args(p: argparse.ArgumentParser, output: bool = True) -> None:
     # names/defaults per utils/add_args.py:54-93
     p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
+    if output:
+        p.add_argument("--output", required=True)
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
     p.add_argument("--ngram_size", type=int, default=5)
@@ -187,7 +188,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=cmd_minhash)
 
     p = sub.add_parser("hash", help="stage A: signatures/bands checkpoint")
-    _add_minhash_args(p)
+    _add_minhash_args(p, output=False)  # outputs go to --checkpoint_dir
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--dataset", required=True)
     p.add_argument("--start_id", type=int, default=0)
