@@ -272,6 +272,42 @@ def q_image_phash_dedup(spark, sf_dir):
     )
 
 
+def q_shingle_stats(spark, sf_dir):
+    """Distinct word-5-gram count per document via the engine's Catalyst
+    shingle expression — tokenizer/shingling parity against an independent
+    SQL reimplementation."""
+    from text_dedup_spark.operators.jaccard import shingles_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(shingles_expr(F.col("text"), 5)).cast("long").alias("n_shingles"),
+    )
+
+
+def q_jaccard_exact_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard >= 0.5 over all pairs of a small planted-dup
+    slice (doc_id < 40 plus suffix-perturbed clones) — verifies the
+    verification-side Jaccard semantics end-to-end against SQL."""
+    from text_dedup_spark.operators.jaccard import jaccard_expr, shingles_expr
+
+    base = _docs_with_near_dups(spark, sf_dir).where(
+        (F.col("doc_id") < 40) | ((F.col("doc_id") >= ID_SHIFT) & (F.col("doc_id") < ID_SHIFT + 40))
+    )
+    sh = base.select("doc_id", shingles_expr(F.col("text"), 5).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
 def q_audio_near_dup(spark, sf_dir):
     """Audio modality: deterministic synthetic clips (opaque binary) ->
     mapInPandas decode+fingerprint -> SimHash Hamming clustering; returns
@@ -341,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": q_langid_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "shingle_stats": q_shingle_stats,
+        "jaccard_exact_pairs": q_jaccard_exact_pairs,
         "event_sessions": q_event_sessions,
         "dup_ratio_by_lang": q_dup_ratio_by_lang,
         "image_phash_dedup": q_image_phash_dedup,
@@ -477,6 +515,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (ORDER BY n_events DESC, user_id, session_start) AS rnk
               FROM agg
             ) WHERE rnk <= 20
+        """,
+        "shingle_stats": f"""
+            SELECT doc_id,
+                   len(list_distinct(
+                     CASE WHEN len({_TOKENS}) >= 5
+                          THEN list_transform(range(1, len({_TOKENS}) - 3),
+                                              i -> array_to_string(({_TOKENS})[i:i+4], ' '))
+                          ELSE []::VARCHAR[] END
+                   ))::BIGINT AS n_shingles
+            FROM documents
+        """,
+        "jaccard_exact_pairs": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 40
+              UNION ALL
+              SELECT doc_id + {ID_SHIFT} AS doc_id, text || ' appended tail marker' AS text
+              FROM documents WHERE doc_id < 40
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len({_TOKENS}) >= 5
+                            THEN list_transform(range(1, len({_TOKENS}) - 3),
+                                                i -> array_to_string(({_TOKENS})[i:i+4], ' '))
+                            ELSE []::VARCHAR[] END
+                     ) AS s
+              FROM base
+            )
+            SELECT * FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
+                           THEN len(list_intersect(a.s, b.s))::DOUBLE
+                                / len(list_distinct(a.s || b.s))
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.5
         """,
         "dup_ratio_by_lang": f"""
             WITH u AS (

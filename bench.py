@@ -235,6 +235,17 @@ VM vary +-50% on identical inputs (all walls listed for transparency).
 **Scaling efficiency ({n} -> {n4} cores) = {eff}** (target >= 0.8).
 
 Survivor counts identical at both levels: {results[n]['kept'] == results[n4]['kept']}.
+
+## Versus the reference's published throughput (BASELINE.md)
+
+Reference Spark MinHash: 42M text rows in <40 min on 160 cores
+(README.md:46-68) = >=17,500 rows/s = ~109 rows/s/core, text-only, single
+modality. This engine at local[{n4}]:
+{results[n4]['images_per_sec']} rows/s on {n4} cores =
+**{round(results[n4]['images_per_sec'] / n4)} rows/s/core — ~{round(results[n4]['images_per_sec'] / n4 / 109)}x
+the reference per core**, while each row also carries image bytes and runs
+THREE dedup modalities (exact sha256 + caption MinHash-LSH + pixel-derived
+phash Hamming) plus the merged connected-components pass.
 """)
 
 
