@@ -19,7 +19,11 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from ..config import SimHashConfig
-from ..kernel.simhash import Permutation, create_permutations, simhash_signature
+from ..kernel.simhash import (
+    Permutation,
+    create_permutations,
+    simhash_signatures_batch,
+)
 
 
 def _to_signed64(x: int) -> int:
@@ -37,12 +41,10 @@ def make_simhash_udf(cfg: SimHashConfig):
 
     @pandas_udf(LongType())
     def simhash64(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _to_signed64(simhash_signature(t if t is not None else "", f=f, ngram=ngram))
-                for t in texts
-            ]
-        )
+        import numpy as np
+
+        sigs = simhash_signatures_batch(texts.tolist(), f=f, ngram=ngram)
+        return pd.Series(sigs.view(np.int64))
 
     return simhash64
 

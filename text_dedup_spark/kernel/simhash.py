@@ -176,3 +176,69 @@ def simhash_signature(content: str, f: int = 64, ngram: int = 3) -> int:
     bit-majority."""
     tokens = char_ngrams(content, ngram)
     return compute([unsigned_hash(t.encode("utf-8"), f=f) for t in tokens], f=f)
+
+
+def simhash_signatures_batch(
+    texts: Sequence[str], f: int = 64, ngram: int = 3
+) -> "np.ndarray":
+    """uint64[len(texts)] — bit-exact batch of ``simhash_signature``.
+
+    Unique grams across the batch are hashed ONCE with the vectorized
+    ``xxh64_batch`` (near-duplicate corpora repeat most grams), and the
+    bit-majority runs as one unpack + ``np.add.reduceat`` over document
+    offsets instead of a per-document numpy call.
+    """
+    if f != 64:
+        return np.array(
+            [simhash_signature(t, f=f, ngram=ngram) for t in texts], dtype=object
+        )
+    from .xxh import xxh64_batch
+
+    gram_index: dict = {}
+    doc_gram_ids: List[np.ndarray] = []
+    for t in texts:
+        toks = char_ngrams(t if t is not None else "", ngram)
+        ids = np.empty(len(toks), dtype=np.int64)
+        for j, tok in enumerate(toks):
+            gid = gram_index.get(tok)
+            if gid is None:
+                gid = len(gram_index)
+                gram_index[tok] = gid
+            ids[j] = gid
+        doc_gram_ids.append(ids)
+
+    hashes = xxh64_batch([g.encode("utf-8") for g in gram_index])
+
+    lens = np.array([len(ids) for ids in doc_gram_ids], dtype=np.int64)
+    all_h = hashes[np.concatenate(doc_gram_ids)] if lens.sum() else np.empty(0, np.uint64)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    nonzero = lens > 0
+    ones = np.zeros((len(texts), 64), dtype=np.int64)
+    # chunk over documents so the unpacked (grams, 64) bit matrix stays
+    # cache-resident (~10 MB) — same trick as minhash_signatures_batch
+    chunk_tokens = 20_000
+    d0 = 0
+    while d0 < len(texts):
+        d1, tot = d0, 0
+        while d1 < len(texts) and (tot == 0 or tot + lens[d1] <= chunk_tokens):
+            tot += lens[d1]
+            d1 += 1
+        if tot > 0:
+            g0 = offsets[d0]
+            h = all_h[g0 : g0 + tot]
+            # big-endian bytes -> unpackbits = MSB-first 64 bits per hash
+            bits = np.unpackbits(
+                h.byteswap().view(np.uint8).reshape(-1, 8), axis=1
+            ).astype(np.int32)
+            sel = nonzero[d0:d1]
+            if sel.any():
+                ones[d0:d1][sel] = np.add.reduceat(
+                    bits, (offsets[d0:d1] - g0)[sel], axis=0
+                )
+        d0 = d1
+    # majority: sum(2b-1) > 0  <=>  2*ones > G
+    maj = (2 * ones > lens[:, None]).astype(np.uint64)
+    sigs = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    sigs[~nonzero] = 0  # compute([]) == 0
+    return sigs
