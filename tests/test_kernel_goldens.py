@@ -221,3 +221,53 @@ def test_restore_and_merge_goldens():
 
 def test_clean_up_golden():
     assert clean_up("This is a test.", [(0, 4), (5, 7)]) == "  a test."
+
+
+def test_xxh64_batch_bit_exact_all_lengths():
+    """Vectorized xxh64 must equal the scalar implementation for every
+    length through the 32-byte stripe boundary, all tail shapes, and
+    multiple seeds."""
+    import random
+
+    import numpy as np
+
+    from text_dedup_spark.kernel.xxh import xxh64_batch, xxh64_int
+
+    rng = random.Random(5)
+    datas = []
+    for ln in list(range(0, 41)) * 10:
+        datas.append(bytes(rng.randrange(256) for _ in range(ln)))
+    for seed in (0, 42):
+        got = xxh64_batch(datas, seed)
+        ref = np.array([xxh64_int(d, seed) for d in datas], dtype=np.uint64)
+        assert (got == ref).all()
+
+
+def test_simhash_batch_bit_exact():
+    import numpy as np
+
+    from text_dedup_spark.kernel.simhash import (
+        simhash_signature,
+        simhash_signatures_batch,
+    )
+
+    texts = ["", "ab", "abc", "aaaa", "the quick brown fox", "ab" * 300]
+    got = simhash_signatures_batch(texts, 64, 3)
+    ref = np.array([simhash_signature(t, 64, 3) for t in texts], dtype=np.uint64)
+    assert (got == ref).all()
+
+
+def test_minhash_batch_bit_exact():
+    import numpy as np
+
+    from text_dedup_spark.kernel.minhash import (
+        generate_permutations,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    perms = generate_permutations(16)
+    texts = ["", "one two", "a b c d e f g h i j", "x " * 50]
+    got = minhash_signatures_batch(texts, 16, 3, perms, chunk_tokens=7)
+    ref = np.stack([minhash_signature(t, 16, 3, perms) for t in texts])
+    assert (got == ref).all()
