@@ -71,3 +71,19 @@ def test_cli_simhash(spark, corpus_path, tmp_path):
     kept = spark.read.parquet(f"{out}/kept")
     removed = spark.read.parquet(f"{out}/removed")
     assert kept.count() + removed.count() == spark.read.parquet(corpus_path).count()
+
+
+def test_cli_staged_image(spark, tmp_path):
+    from text_dedup_spark.sources.synth import images_table
+
+    inp = str(tmp_path / "imgs")
+    images_table(spark, 100, seed=42).write.mode("overwrite").parquet(inp)
+    ckpt = str(tmp_path / "ickpt")
+    _run(["image-features", "--input", inp, "--checkpoint_dir", ckpt,
+          "--dataset", "d1", "--num_perm", "64", "--threshold", "0.7"])
+    _run(["image-cluster", "--checkpoint_dir", ckpt, "--datasets", "d1"])
+    _run(["image-apply", "--input", inp, "--checkpoint_dir", ckpt,
+          "--dataset", "d1"])
+    kept = spark.read.parquet(f"{ckpt}/d1__kept").count()
+    removed = spark.read.parquet(f"{ckpt}/d1__removed").count()
+    assert kept + removed == 100 and removed > 0

@@ -125,6 +125,47 @@ def cmd_remove(args) -> None:
         spark.stop()
 
 
+def cmd_image_features(args) -> None:
+    from .plans.staged_image import stage_features
+    from .sources.catalog import ParquetCatalog
+
+    spark, _own = _session("text-dedup-image-features")
+    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    stage_features(
+        catalog, _read(spark, args.input), _minhash_cfg(args),
+        dataset=args.dataset, phash_source=args.phash_source,
+    )
+    if _own:
+        spark.stop()
+
+
+def cmd_image_cluster(args) -> None:
+    from .config import SimHashConfig
+    from .plans.staged_image import stage_cluster
+    from .sources.catalog import ParquetCatalog
+
+    spark, _own = _session("text-dedup-image-cluster")
+    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    stage_cluster(
+        catalog, args.datasets,
+        SimHashConfig(f=64, bit_diff=args.bit_diff, num_bucket=args.num_bucket),
+    )
+    if _own:
+        spark.stop()
+
+
+def cmd_image_apply(args) -> None:
+    from .plans.staged_image import stage_apply
+    from .sources.catalog import ParquetCatalog
+
+    spark, _own = _session("text-dedup-image-apply")
+    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    kept, removed = stage_apply(catalog, _read(spark, args.input), args.dataset)
+    print(f"kept={kept} removed={removed}")
+    if _own:
+        spark.stop()
+
+
 def cmd_exact(args) -> None:
     from .operators.exact import exact_dedup
     from .operators.ids import ID, assign_unique_ids
@@ -203,6 +244,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--dataset", required=True)
     p.set_defaults(fn=cmd_remove)
+
+    p = sub.add_parser("image-features",
+                       help="image stage A: per-row features + band checkpoints")
+    _add_minhash_args(p, output=False)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--phash_source", default="column", choices=["column", "pixels"])
+    p.set_defaults(fn=cmd_image_features)
+
+    p = sub.add_parser("image-cluster", help="image stage B: 3-modality global CC")
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--datasets", nargs="+", required=True)
+    p.add_argument("--bit_diff", type=int, default=3)
+    p.add_argument("--num_bucket", type=int, default=4)
+    p.set_defaults(fn=cmd_image_cluster)
+
+    p = sub.add_parser("image-apply", help="image stage C: split kept/removed")
+    p.add_argument("--input", required=True)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--dataset", required=True)
+    p.set_defaults(fn=cmd_image_apply)
 
     p = sub.add_parser("exact", help="exact-hash dedup")
     p.add_argument("--input", required=True)
