@@ -1,0 +1,177 @@
+"""Property-based tests (hypothesis) for the pure kernels — no Spark.
+
+These complement the golden-vector tests: goldens pin reference parity at
+specific points; properties pin the algebraic invariants over the whole
+input space."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from text_dedup_spark.kernel.intervals import merge_intervals, restore_and_merge
+from text_dedup_spark.kernel.minhash import (
+    MAX_HASH,
+    generate_permutations,
+    minhash_signature,
+    minhash_signatures_batch,
+    tokenize,
+)
+from text_dedup_spark.kernel.simhash import (
+    hamming_distance,
+    simhash_signature,
+    simhash_signatures_batch,
+)
+from text_dedup_spark.kernel.substr import duplicate_segments
+from text_dedup_spark.kernel.xxh import xxh64_batch, xxh64_int
+
+# --- tokenizer / shingles ---------------------------------------------------
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@given(texts, st.integers(1, 8))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_shingle_count(content, n):
+    """Spark-script semantics (minhash_spark.py:58-85): shingle count is
+    bounded by max(0, words-n+1); short docs yield the empty set (never the
+    whole-doc fallback of utils/tokenization.py)."""
+    import re
+
+    words = [w for w in re.split("[^A-Za-z_0-9]", content.replace("\n", " ")) if w]
+    sh = tokenize(content, n)
+    if len(words) < n:
+        assert sh == set()
+    else:
+        assert 0 < len(sh) <= len(words) - n + 1
+        assert all(len(g.split(" ")) == n for g in sh)
+
+
+# --- minhash ----------------------------------------------------------------
+
+PERMS = generate_permutations(16)
+
+
+@given(st.lists(texts, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_minhash_batch_equals_scalar(batch):
+    got = minhash_signatures_batch(batch, 16, 3, PERMS, chunk_tokens=11)
+    ref = np.stack(
+        [minhash_signature(t, 16, 3, PERMS) for t in batch]
+    ) if batch else np.empty((0, 16), np.uint64)
+    assert (got == ref).all()
+    # signatures are bounded by MAX_HASH (the reference's & MAX_HASH)
+    assert (got <= np.uint64(MAX_HASH)).all()
+
+
+@given(texts, texts)
+@settings(max_examples=100, deadline=None)
+def test_minhash_identical_docs_identical_sigs(a, b):
+    sa = minhash_signature(a, 16, 3, PERMS)
+    sb = minhash_signature(b, 16, 3, PERMS)
+    if tokenize(a, 3) == tokenize(b, 3):
+        assert (sa == sb).all()
+
+
+# --- simhash ----------------------------------------------------------------
+
+
+@given(st.lists(texts, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_simhash_batch_equals_scalar(batch):
+    got = simhash_signatures_batch(batch, 64, 3)
+    ref = np.array([simhash_signature(t, 64, 3) for t in batch], dtype=np.uint64)
+    assert (got == ref).all()
+
+
+@given(st.integers(0, 2**64 - 1), st.integers(0, 2**64 - 1), st.integers(0, 2**64 - 1))
+@settings(max_examples=200, deadline=None)
+def test_hamming_is_a_metric(a, b, c):
+    assert hamming_distance(a, a) == 0
+    assert hamming_distance(a, b) == hamming_distance(b, a)
+    assert hamming_distance(a, c) <= hamming_distance(a, b) + hamming_distance(b, c)
+
+
+# --- xxh64 ------------------------------------------------------------------
+
+
+@given(st.lists(st.binary(max_size=40), max_size=20), st.integers(0, 2**32))
+@settings(max_examples=100, deadline=None)
+def test_xxh64_batch_equals_scalar(datas, seed):
+    got = xxh64_batch(datas, seed)
+    ref = np.array([xxh64_int(d, seed) for d in datas], dtype=np.uint64)
+    assert (got == ref).all()
+
+
+# --- intervals --------------------------------------------------------------
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(1, 30)).map(lambda t: (t[0], t[0] + t[1])),
+    max_size=15,
+)
+
+
+@given(intervals)
+@settings(max_examples=200, deadline=None)
+def test_merge_overlapping_covers_exactly_the_union(iv):
+    merged = merge_intervals(iv, "overlapping")
+    want = set()
+    for a, b in iv:
+        want.update(range(a, b))
+    got = set()
+    prev_end = -1
+    for a, b in merged:
+        assert a < b
+        assert a > prev_end  # disjoint, non-touching, sorted
+        prev_end = b
+        got.update(range(a, b))
+    assert got == want
+
+
+@given(intervals)
+@settings(max_examples=100, deadline=None)
+def test_merge_longest_keeps_maximal_intervals(iv):
+    merged = merge_intervals(iv, "longest")
+    distinct = set(iv)
+    for m in merged:
+        assert m in distinct
+    # no kept interval is contained in another kept interval
+    for x in merged:
+        for y in merged:
+            if x != y:
+                assert not (y[0] <= x[0] and x[1] <= y[1])
+
+
+# --- duplicate substrings ---------------------------------------------------
+
+
+@given(st.binary(max_size=200), st.integers(1, 8))
+@settings(max_examples=100, deadline=None)
+def test_duplicate_segments_match_naive_model(data, k):
+    def naive(d, kk):
+        pos = defaultdict(list)
+        for i in range(len(d) - kk + 1):
+            pos[d[i : i + kk]].append(i)
+        dups = sorted(p for v in pos.values() if len(v) >= 2 for p in v)
+        return merge_intervals([(p, p + kk) for p in dups], "overlapping")
+
+    assert duplicate_segments(data, k) == naive(data, k)
+
+
+@given(st.binary(max_size=120), st.integers(1, 6))
+@settings(max_examples=60, deadline=None)
+def test_restore_and_merge_total_is_sum_of_ranges(data, k):
+    # split data into 3 docs; restored per-doc ranges must re-sum
+    n = len(data)
+    bounds = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    segs = duplicate_segments(data, k)
+    per_doc, total = restore_and_merge(bounds, segs, k, "overlapping")
+    assert total == sum(b - a for ranges in per_doc for a, b in ranges)
+    for (s, e), ranges in zip(bounds, per_doc):
+        for a, b in ranges:
+            assert 0 <= a < b <= e - s
