@@ -153,3 +153,36 @@ def test_embedding_near_pairs(spark, vectors):
     }
     assert len(approx & exact) >= 9
     assert approx <= exact  # verification step admits no false positives
+
+
+def test_empty_corpus_through_pipelines(spark):
+    from text_dedup_spark.config import MinHashConfig, SimHashConfig
+    from text_dedup_spark.operators.cc import connected_components
+    from text_dedup_spark.operators.exact import exact_dedup
+    from text_dedup_spark.operators.simhash_dedup import simhash_assignments_from_text
+    from text_dedup_spark.plans.minhash_pipeline import minhash_dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    res = minhash_dedup(empty, "text", MinHashConfig(num_perm=16), id_col="doc_id")
+    assert res.kept.count() == 0 and res.assignments.count() == 0
+    assert exact_dedup(empty, "text", "doc_id").count() == 0
+    assert simhash_assignments_from_text(
+        empty, "text", SimHashConfig(), "doc_id"
+    ).count() == 0
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges, "doc_id").count() == 0
+
+
+def test_degenerate_short_doc_bucket(spark):
+    """All-short-docs corpus: every signature is all-MAX_HASH (spark-script
+    ngrams semantics) -> ONE giant bucket; the bucket-min aggregation must
+    still produce exactly n-1 star edges and one survivor."""
+    from text_dedup_spark.config import MinHashConfig
+    from text_dedup_spark.plans.minhash_pipeline import minhash_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "ab") for i in range(50)], "doc_id long, text string"
+    )
+    res = minhash_dedup(docs, "text", MinHashConfig(num_perm=16), id_col="doc_id")
+    assert res.kept.count() == 1
+    assert res.assignments.count() == 49

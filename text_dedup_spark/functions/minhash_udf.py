@@ -29,7 +29,12 @@ from ..kernel.minhash import (
 
 
 def make_band_hashes_udf(cfg: MinHashConfig):
-    """Returns a pandas UDF: caption:string -> array<binary> of B band keys."""
+    """Returns a pandas UDF: caption:string -> array<binary> of B band keys
+    in the reference's exact big-endian byte serialization
+    (minhash_spark.py:155). NOTE: the pipelines do NOT use this — they emit
+    the raw signature and derive equality-equivalent 8-byte band keys
+    JVM-side (operators/lsh.band_keys_expr); this path exists for consumers
+    that need byte-compatible checkpoints with the reference."""
     cfg = cfg.resolve()
     permutations = generate_permutations(cfg.num_perm, cfg.seed)
     ranges = cfg.ranges
