@@ -124,3 +124,24 @@ def test_edges_match_reference_star_expansion(spark, corpus):
         mn = min(nodes)
         expect.update((n, mn) for n in nodes if n != mn)
     assert edges == expect
+
+
+def test_hot_bucket_path_identical_edges(spark):
+    """candidate_edges with the hot-bucket broadcast path must emit exactly
+    the same edge set as the plain join, on a corpus engineered so one
+    bucket holds most rows (all-short-docs all-MAX_HASH signature)."""
+    from text_dedup_spark.config import MinHashConfig
+    from text_dedup_spark.operators.lsh import band_rows, candidate_edges
+
+    rows = [(i, "xy") for i in range(40)] + [
+        (100 + i, f"alpha beta gamma delta epsilon word{i} zeta eta theta") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = band_rows(df, "text", MinHashConfig(num_perm=16).resolve(), "doc_id").persist()
+    plain = {(r["src"], r["dst"]) for r in candidate_edges(bands, "doc_id").collect()}
+    hot = {
+        (r["src"], r["dst"])
+        for r in candidate_edges(bands, "doc_id", hot_threshold=5).collect()
+    }
+    bands.unpersist()
+    assert plain == hot and len(plain) >= 39

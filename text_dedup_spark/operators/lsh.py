@@ -66,17 +66,52 @@ def band_rows(df: DataFrame, text_col: str, cfg: MinHashConfig, id_col: str = ID
     )
 
 
-def candidate_edges(bands: DataFrame, id_col: str = ID) -> DataFrame:
+def candidate_edges(
+    bands: DataFrame,
+    id_col: str = ID,
+    hot_threshold: int | None = None,
+) -> DataFrame:
     """(src, dst) duplicate-candidate edges; dst = min id of the bucket.
 
     Buckets of size 1 produce no edge (the min-join filters id != min), which
     matches generate_edges' len<=1 early-out (minhash_spark.py:239-240).
+
+    Hot buckets (SURVEY §7.4: e.g. the all-MAX_HASH short-document
+    signature puts a constant fraction of the corpus in ONE bucket): the
+    min itself is immune (map-side partial aggregation), but the join back
+    would put every hot-bucket row in a single shuffle partition. With
+    ``hot_threshold`` set, buckets above it are split out and joined via an
+    explicit BROADCAST of their (tiny) min-map — the hot rows never shuffle
+    at all, which strictly dominates salting (zero replication, zero skew).
+    Cold buckets keep the plain shuffle join (uniform by construction);
+    with AQE on, its skew-join split remains as the untuned fallback.
     """
-    mins = bands.groupBy("band", "band_hash").agg(F.min(id_col).alias("__min__"))
+    mins = bands.groupBy("band", "band_hash").agg(
+        F.min(id_col).alias("__min__"), F.count(F.lit(1)).alias("__n__")
+    )
+
+    def star(b: DataFrame, m: DataFrame, broadcast: bool) -> DataFrame:
+        m = F.broadcast(m) if broadcast else m
+        return (
+            b.join(m, ["band", "band_hash"])
+            .where(F.col(id_col) != F.col("__min__"))
+            .select(F.col(id_col).alias("src"), F.col("__min__").alias("dst"))
+        )
+
+    if hot_threshold is None:
+        return star(bands, mins.drop("__n__"), False).dropDuplicates(["src", "dst"])
+
+    hot = mins.where(F.col("__n__") > hot_threshold).drop("__n__")
+    cold = mins.where(F.col("__n__") <= hot_threshold).drop("__n__")
+    # left_semi/left_anti against the hot KEY SET routes each band row to
+    # exactly one side; the hot side's min-map is by definition small
+    # (#hot buckets <= corpus/hot_threshold)
+    hot_keys = hot.select("band", "band_hash")
+    bands_hot = bands.join(F.broadcast(hot_keys), ["band", "band_hash"], "left_semi")
+    bands_cold = bands.join(F.broadcast(hot_keys), ["band", "band_hash"], "left_anti")
     return (
-        bands.join(mins, ["band", "band_hash"])
-        .where(F.col(id_col) != F.col("__min__"))
-        .select(F.col(id_col).alias("src"), F.col("__min__").alias("dst"))
+        star(bands_cold, cold, False)
+        .unionByName(star(bands_hot, hot, True))
         .dropDuplicates(["src", "dst"])
     )
 
