@@ -57,6 +57,7 @@ def image_dedup(
     minhash_cfg: MinHashConfig | None = None,
     simhash_cfg: SimHashConfig | None = None,
     phash_source: str = "column",
+    hot_threshold: int | None = None,
 ) -> ImageDedupResult:
     """``phash_source``: 'column' trusts the stored phash int64;
     'pixels' recomputes it from the image bytes with the Arrow-batched
@@ -105,7 +106,7 @@ def image_dedup(
         StorageLevel.MEMORY_AND_DISK
     )
     bands.count()
-    caption_edges = candidate_edges(bands, ID)
+    caption_edges = candidate_edges(bands, ID, hot_threshold=hot_threshold)
 
     image_edges = simhash_edges(
         feats.select(F.col(ID), F.col("__phash__").alias("sig")),

@@ -39,6 +39,7 @@ def minhash_dedup(
     text_col: str,
     cfg: MinHashConfig | None = None,
     id_col: str | None = None,
+    hot_threshold: int | None = None,
 ) -> MinHashDedupResult:
     """Near-deduplicate ``df`` on ``text_col``.
 
@@ -58,7 +59,7 @@ def minhash_dedup(
     # signature UDF runs once; CC eagerly materializes edges, after which
     # the band rows are dead weight and can be dropped.
     bands = band_rows(corpus, text_col, cfg, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    edges = candidate_edges(bands, id_col)
+    edges = candidate_edges(bands, id_col, hot_threshold=hot_threshold)
     assignments = connected_components(edges, id_col)
     bands.unpersist()
     kept, removed = split_survivors(corpus, assignments, id_col)

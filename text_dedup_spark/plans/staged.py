@@ -78,12 +78,13 @@ def stage_dedup(
     datasets: list[str],
     run_id: str | None = None,
     clusters_table: str = "clusters",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     run_id = run_id or uuid.uuid4().hex
     t = Timer()
     with t("dedup"):
         bands = catalog.read_many([bands_name(ds) for ds in datasets])
-        edges = candidate_edges(bands, ID)
+        edges = candidate_edges(bands, ID, hot_threshold=hot_threshold)
         assignments = connected_components(edges, ID)
         catalog.write(assignments, clusters_table)
     out = catalog.read(clusters_table)

@@ -89,6 +89,7 @@ def stage_cluster(
     simhash_cfg: SimHashConfig,
     run_id: str | None = None,
     clusters_table: str = "clusters",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     run_id = run_id or uuid.uuid4().hex
     t = Timer()
@@ -96,7 +97,7 @@ def stage_cluster(
         feats = catalog.read_many([feats_name(ds) for ds in datasets])
         bands = catalog.read_many([bands_name(ds) for ds in datasets])
         exact = exact_assignments(feats, "bhash", ID, algo="precomputed")
-        caption_edges = candidate_edges(bands, ID)
+        caption_edges = candidate_edges(bands, ID, hot_threshold=hot_threshold)
         image_edges = simhash_edges(
             feats.select(F.col(ID), F.col("phash").alias("sig")), simhash_cfg, ID
         )
