@@ -333,6 +333,32 @@ def q_audio_near_dup(spark, sf_dir):
     )
 
 
+def q_video_near_dup(spark, sf_dir):
+    """Video modality: synthetic FVID clips -> frame-sample (every 2nd
+    frame) + temporal-aHash fingerprint -> Hamming clustering."""
+    from text_dedup_spark.functions.media_udf import (
+        media_near_dup_assignments,
+        video_meta_table,
+    )
+    from text_dedup_spark.sources.synth import video_table
+
+    clips = video_table(spark, 250, seed=42).withColumn(
+        "__id__", F.xxhash64("clip_id")
+    )
+    meta = video_meta_table(
+        clips.select("clip_id", "__id__", "bytes"), sample_every=2
+    )
+    assigns = media_near_dup_assignments(meta, "vfp", "__id__", bit_diff=3)
+    idmap = meta.select("__id__", "clip_id")
+    rep = idmap.select(
+        F.col("__id__").alias("component"), F.col("clip_id").alias("rep_clip_id")
+    )
+    return (
+        assigns.join(idmap, "__id__").join(rep, "component")
+        .select("clip_id", "rep_clip_id")
+    )
+
+
 def q_image_meta(spark, sf_dir):
     from text_dedup_spark.functions.image_udf import image_meta
     from text_dedup_spark.sources.synth import images_table
@@ -384,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "image_meta": q_image_meta,
         "audio_near_dup": q_audio_near_dup,
+        "video_near_dup": q_video_near_dup,
     }
 
 

@@ -270,3 +270,54 @@ def audio_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
 
     groups = spark.range(n_groups).repartition(max(2, min(64, n_groups)))
     return groups.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("n_frames", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("w", IntegerType()),
+    ]
+)
+
+
+def video_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic video table (FVID container): groups of 5
+    (anchor, exact dup, near-dup [sub-aHash pixel jitter], 2 singletons)."""
+    from ..functions.media_udf import fake_frames
+
+    n_groups = (n_rows + 4) // 5
+    nf, h, w = 8, 24, 24
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for g in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 1000003 + int(g) + 7) % (1 << 31))
+                base_id = int(g) * 5
+                anchor = rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8)
+
+                def emit(slot, frames):
+                    rows.append(
+                        {
+                            "clip_id": f"vid-{base_id + slot:010d}",
+                            "bytes": fake_frames(frames),
+                            "n_frames": nf,
+                            "h": h,
+                            "w": w,
+                        }
+                    )
+
+                emit(0, anchor)
+                emit(1, anchor)
+                jit = anchor.astype(np.int16)
+                jit[:, :2, :2] += 1
+                emit(2, jit.clip(0, 255).astype(np.uint8))
+                emit(3, rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8))
+                emit(4, rng.randint(0, 256, size=(nf, h, w), dtype=np.uint8))
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    groups = spark.range(n_groups).repartition(max(2, min(64, n_groups)))
+    return groups.mapInPandas(gen, VIDEO_SCHEMA)
