@@ -186,3 +186,28 @@ def test_degenerate_short_doc_bucket(spark):
     res = minhash_dedup(docs, "text", MinHashConfig(num_perm=16), id_col="doc_id")
     assert res.kept.count() == 1
     assert res.assignments.count() == 49
+
+
+def test_audit_false_positives(spark):
+    """Exact duplicates audit at jaccard 1.0 (zero false positives); a
+    planted LSH false positive (dissimilar doc wired into a cluster) is
+    flagged."""
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.operators.audit import audit_false_positives, audit_summary
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words with nothing shared at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    assigns = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, component long")
+    audited = audit_false_positives(docs, assigns, "text", "doc_id", n=3, threshold=0.7)
+    rows = {r["doc_id"]: r for r in audited.collect()}
+    assert rows[1]["jaccard"] == 1.0 and not rows[1]["is_false_positive"]
+    assert rows[2]["jaccard"] == 0.0 and rows[2]["is_false_positive"]
+    s = audit_summary(audited).collect()[0]
+    assert s["n_members"] == 2 and s["n_false_positive"] == 1 and s["fp_rate"] == 0.5
