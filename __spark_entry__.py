@@ -308,6 +308,26 @@ def q_jaccard_exact_pairs(spark, sf_dir):
     )
 
 
+def q_audit_clone_pairs(spark, sf_dir):
+    """False-positive audit (operators/audit.py) over the deterministic
+    clone assignment (each suffix-perturbed clone assigned to its source):
+    per-member true 5-gram Jaccard vs representative + FP flag at 0.7."""
+    from text_dedup_spark.operators.audit import audit_false_positives
+
+    corpus = _docs_with_near_dups(spark, sf_dir).where(
+        (F.col("doc_id") < 60) | ((F.col("doc_id") >= ID_SHIFT) & (F.col("doc_id") < ID_SHIFT + 60))
+    )
+    assigns = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 60)
+        .select(
+            (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+            F.col("doc_id").alias("component"),
+        )
+    )
+    return audit_false_positives(corpus, assigns, "text", "doc_id", n=5, threshold=0.7)
+
+
 def q_audio_near_dup(spark, sf_dir):
     """Audio modality: deterministic synthetic clips (opaque binary) ->
     mapInPandas decode+fingerprint -> SimHash Hamming clustering; returns
@@ -405,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "shingle_stats": q_shingle_stats,
         "jaccard_exact_pairs": q_jaccard_exact_pairs,
+        "audit_clone_pairs": q_audit_clone_pairs,
         "event_sessions": q_event_sessions,
         "dup_ratio_by_lang": q_dup_ratio_by_lang,
         "image_phash_dedup": q_image_phash_dedup,
@@ -578,6 +599,39 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 0.0 END, 6) AS jaccard
               FROM sh a, sh b WHERE a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.5
+        """,
+        "audit_clone_pairs": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len({_TOKENS}) >= 5
+                            THEN list_transform(range(1, len({_TOKENS}) - 3),
+                                                i -> array_to_string(({_TOKENS})[i:i+4], ' '))
+                            ELSE []::VARCHAR[] END
+                     ) AS s
+              FROM documents WHERE doc_id < 60
+            ),
+            shc AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(regexp_extract_all(text || ' appended tail marker', '[A-Za-z_0-9]+')) >= 5
+                            THEN list_transform(range(1, len(regexp_extract_all(text || ' appended tail marker', '[A-Za-z_0-9]+')) - 3),
+                                                i -> array_to_string((regexp_extract_all(text || ' appended tail marker', '[A-Za-z_0-9]+'))[i:i+4], ' '))
+                            ELSE []::VARCHAR[] END
+                     ) AS s
+              FROM documents WHERE doc_id < 60
+            )
+            SELECT shc.doc_id + {ID_SHIFT} AS doc_id,
+                   sh.doc_id AS component,
+                   round(CASE WHEN len(list_distinct(shc.s || sh.s)) > 0
+                         THEN len(list_intersect(shc.s, sh.s))::DOUBLE
+                              / len(list_distinct(shc.s || sh.s))
+                         ELSE 0.0 END, 6) AS jaccard,
+                   round(CASE WHEN len(list_distinct(shc.s || sh.s)) > 0
+                         THEN len(list_intersect(shc.s, sh.s))::DOUBLE
+                              / len(list_distinct(shc.s || sh.s))
+                         ELSE 0.0 END, 6) < 0.7 AS is_false_positive
+            FROM shc JOIN sh USING (doc_id)
         """,
         "dup_ratio_by_lang": f"""
             WITH u AS (
