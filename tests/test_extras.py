@@ -211,3 +211,29 @@ def test_audit_false_positives(spark):
     assert rows[2]["jaccard"] == 0.0 and rows[2]["is_false_positive"]
     s = audit_summary(audited).collect()[0]
     assert s["n_members"] == 2 and s["n_false_positive"] == 1 and s["fp_rate"] == 0.5
+
+
+def test_catalyst_shingles_match_kernel_tokenize(spark):
+    """The Catalyst shingle expression (jaccard/audit operators) and the
+    python kernel tokenizer (minhash signatures) must agree on the shingle
+    SET for any text — including unicode, newlines, and short docs — or the
+    two layers would disagree about similarity."""
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.kernel.minhash import tokenize
+    from text_dedup_spark.operators.jaccard import shingles_expr
+
+    texts = [
+        "plain ascii words here for shingling",
+        "newlines\nare\nreplaced\nby the tokenizer maybe",
+        "unicode: héllo wörld — em-dash, 中文字符 and emoji 🙂 mixed in",
+        "tabs\tand  double  spaces",
+        "short doc",
+        "",
+        "under_scores and digits 123 mix_99 fine",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = df.select("i", shingles_expr(F.col("text"), 3).alias("sh")).collect()
+    got = {r["i"]: set(r["sh"]) for r in rows}
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize(t, 3), (i, t, got[i], tokenize(t, 3))
