@@ -73,6 +73,10 @@ def run_queries() -> dict:
         "embedding_near_pairs",
         "image_phash_dedup",
         "events_hourly",
+        "event_sessions",
+        "shingle_stats",
+        "audit_clone_pairs",
+        "ann_ivf_topk",
     ]
     timings = {}
     for name in headline:

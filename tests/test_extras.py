@@ -237,3 +237,40 @@ def test_catalyst_shingles_match_kernel_tokenize(spark):
     got = {r["i"]: set(r["sh"]) for r in rows}
     for i, t in enumerate(texts):
         assert got[i] == tokenize(t, 3), (i, t, got[i], tokenize(t, 3))
+
+
+def test_ivf_and_lsh_recall_vs_brute_force(spark):
+    """Approximate ANN tiers must reach high recall@10 against the exact
+    baseline on CLUSTERED vectors (the workload approximate indexes exist
+    for; near-uniform random vectors have no cell structure to exploit and
+    any IVF degrades toward its probe fraction there)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.operators.ann import brute_force_topk, ivf_topk, lsh_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(20, 32)
+    rows = []
+    for i in range(600):
+        c = centers[i % 20]
+        v = c + rng.randn(32) * 0.15
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, 10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r_ivf = recall(ivf_topk(emb, queries, 10, n_centroids=32, n_probe=8))
+    r_lsh = recall(lsh_topk(emb, queries, 10, nbits=10, n_tables=8))
+    assert r_ivf >= 0.9, r_ivf
+    assert r_lsh >= 0.9, r_lsh
