@@ -87,3 +87,18 @@ def test_cli_staged_image(spark, tmp_path):
     kept = spark.read.parquet(f"{ckpt}/d1__kept").count()
     removed = spark.read.parquet(f"{ckpt}/d1__removed").count()
     assert kept + removed == 100 and removed > 0
+
+
+def test_cli_text_paragraph_ingest(spark, tmp_path):
+    from text_dedup_spark.sources.text import read_paragraphs
+
+    f = tmp_path / "corpus.txt"
+    f.write_text("para one line a\npara one line b\n\npara two\n\n\n  \n\npara three\n")
+    df = read_paragraphs(spark, str(f))
+    texts = sorted(r["text"].strip() for r in df.collect())
+    assert texts == ["para one line a\npara one line b", "para three", "para two"]
+
+    out = str(tmp_path / "exact_txt_out")
+    _run(["exact", "--input", str(tmp_path), "--format", "text", "--output", out,
+          "--column", "text"])
+    assert spark.read.parquet(out).count() == 3

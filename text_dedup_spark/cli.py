@@ -40,13 +40,17 @@ def _session(app: str) -> tuple[SparkSession, bool]:
     return build_session(app_name=app), True
 
 
-def _read(spark: SparkSession, path: str):
-    return spark.read.parquet(path)
+def _read(spark: SparkSession, path: str, fmt: str = "parquet"):
+    from .sources.text import read_input
+
+    return read_input(spark, path, fmt)
 
 
 def _add_minhash_args(p: argparse.ArgumentParser, output: bool = True) -> None:
     # names/defaults per utils/add_args.py:54-93
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text"])
     if output:
         p.add_argument("--output", required=True)
     p.add_argument("--column", default="text")
@@ -74,7 +78,7 @@ def cmd_minhash(args) -> None:
     from .plans.minhash_pipeline import minhash_dedup
 
     spark, _own = _session("text-dedup-minhash")
-    df = _read(spark, args.input)
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
     res = minhash_dedup(df, args.column, _minhash_cfg(args), id_col=args.id_column)
     res.kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     res.removed.write.mode("overwrite").parquet(f"{args.output}/removed")
@@ -91,7 +95,7 @@ def cmd_hash(args) -> None:
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
     max_assigned = stage_hash(
         catalog,
-        _read(spark, args.input),
+        _read(spark, args.input, getattr(args, "format", "parquet")),
         args.column,
         _minhash_cfg(args),
         dataset=args.dataset,
@@ -171,7 +175,7 @@ def cmd_exact(args) -> None:
     from .operators.ids import ID, assign_unique_ids
 
     spark, _own = _session("text-dedup-exact")
-    df = _read(spark, args.input)
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
     id_col = args.id_column
     if id_col is None:
         df = assign_unique_ids(df, ID)
@@ -187,7 +191,7 @@ def cmd_simhash(args) -> None:
     from .operators.simhash_dedup import simhash_assignments_from_text
 
     spark, _own = _session("text-dedup-simhash")
-    df = _read(spark, args.input)
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
     id_col = args.id_column
     if id_col is None:
         df = assign_unique_ids(df, ID)
@@ -208,7 +212,7 @@ def cmd_suffix(args) -> None:
     from .operators.suffix import remove_duplicate_substrings
 
     spark, _own = _session("text-dedup-suffix")
-    df = _read(spark, args.input)
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
     id_col = args.id_column
     if id_col is None:
         df = assign_unique_ids(df, ID)
@@ -268,6 +272,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("exact", help="exact-hash dedup")
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text"])
     p.add_argument("--output", required=True)
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
@@ -275,6 +281,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("simhash", help="SimHash near-dedup")
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text"])
     p.add_argument("--output", required=True)
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
@@ -286,6 +294,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("suffix", help="duplicate-substring removal")
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text"])
     p.add_argument("--output", required=True)
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
