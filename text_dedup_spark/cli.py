@@ -40,6 +40,11 @@ def _session(app: str) -> tuple[SparkSession, bool]:
     return build_session(app_name=app), True
 
 
+def _write(df, path: str, fmt: str = "parquet") -> None:
+    # reference's final sink is JSON (minhash_spark.py:395); parquet default
+    df.write.mode("overwrite").format(fmt).save(path)
+
+
 def _read(spark: SparkSession, path: str, fmt: str = "parquet"):
     from .sources.text import read_input
 
@@ -53,6 +58,7 @@ def _add_minhash_args(p: argparse.ArgumentParser, output: bool = True) -> None:
                    choices=["parquet", "json", "csv", "text"])
     if output:
         p.add_argument("--output", required=True)
+        p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
     p.add_argument("--ngram_size", type=int, default=5)
@@ -80,9 +86,9 @@ def cmd_minhash(args) -> None:
     spark, _own = _session("text-dedup-minhash")
     df = _read(spark, args.input, getattr(args, "format", "parquet"))
     res = minhash_dedup(df, args.column, _minhash_cfg(args), id_col=args.id_column)
-    res.kept.write.mode("overwrite").parquet(f"{args.output}/kept")
-    res.removed.write.mode("overwrite").parquet(f"{args.output}/removed")
-    res.assignments.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    _write(res.kept, f"{args.output}/kept", args.output_format)
+    _write(res.removed, f"{args.output}/removed", args.output_format)
+    _write(res.assignments, f"{args.output}/clusters", args.output_format)
     if _own:
         spark.stop()
 
@@ -180,7 +186,7 @@ def cmd_exact(args) -> None:
     if id_col is None:
         df = assign_unique_ids(df, ID)
         id_col = ID
-    exact_dedup(df, args.column, id_col).write.mode("overwrite").parquet(args.output)
+    _write(exact_dedup(df, args.column, id_col), args.output, args.output_format)
     if _own:
         spark.stop()
 
@@ -201,8 +207,8 @@ def cmd_simhash(args) -> None:
     )
     assigns = simhash_assignments_from_text(df, args.column, cfg, id_col)
     kept, removed = split_survivors(df, assigns, id_col)
-    kept.write.mode("overwrite").parquet(f"{args.output}/kept")
-    removed.write.mode("overwrite").parquet(f"{args.output}/removed")
+    _write(kept, f"{args.output}/kept", args.output_format)
+    _write(removed, f"{args.output}/removed", args.output_format)
     if _own:
         spark.stop()
 
@@ -219,7 +225,7 @@ def cmd_suffix(args) -> None:
         id_col = ID
     cfg = SuffixConfig(k=args.k, global_scope=args.global_scope)
     out = remove_duplicate_substrings(df, args.column, cfg, id_col)
-    out.write.mode("overwrite").parquet(args.output)
+    _write(out, args.output, args.output_format)
     if _own:
         spark.stop()
 
@@ -275,6 +281,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "json", "csv", "text"])
     p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
     p.set_defaults(fn=cmd_exact)
@@ -284,6 +291,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "json", "csv", "text"])
     p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
     p.add_argument("--f", type=int, default=64)
@@ -297,6 +305,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "json", "csv", "text"])
     p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
     p.add_argument("--k", type=int, default=100)
