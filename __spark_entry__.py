@@ -308,6 +308,22 @@ def q_jaccard_exact_pairs(spark, sf_dir):
     )
 
 
+def q_image_fidelity(spark, sf_dir):
+    """North-star per-row invariant as a query: decode -> block-mean resize
+    (identity dims) -> re-encode, then verify decoded-pixel PSNR >= 40 dB +
+    caption equality. Returns VIOLATIONS (must be empty)."""
+    from text_dedup_spark.functions.image_udf import make_resize_udf
+    from text_dedup_spark.plans.image_pipeline import verify_fidelity
+    from text_dedup_spark.sources.synth import images_table
+
+    imgs = images_table(spark, 200, seed=42)
+    resize = make_resize_udf(32, 32)
+    transformed = imgs.withColumn("bytes", resize(F.col("bytes"), F.col("fmt"))).withColumn(
+        "fmt", F.lit("png")
+    )
+    return verify_fidelity(imgs, transformed, 40.0).select("image_id", "psnr")
+
+
 def q_audit_clone_pairs(spark, sf_dir):
     """False-positive audit (operators/audit.py) over the deterministic
     clone assignment (each suffix-perturbed clone assigned to its source):
@@ -432,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
+        "image_fidelity": q_image_fidelity,
     }
 
 

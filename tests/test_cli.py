@@ -102,3 +102,14 @@ def test_cli_text_paragraph_ingest(spark, tmp_path):
     _run(["exact", "--input", str(tmp_path), "--format", "text", "--output", out,
           "--column", "text"])
     assert spark.read.parquet(out).count() == 3
+
+
+def test_read_input_json_csv(spark, tmp_path):
+    from text_dedup_spark.sources.text import read_input
+
+    rows = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
+    rows.write.mode("overwrite").json(jp)
+    rows.write.mode("overwrite").option("header", "true").csv(cp)
+    assert {r["text"] for r in read_input(spark, jp, "json").collect()} == {"a b c", "d e f"}
+    assert {r["text"] for r in read_input(spark, cp, "csv").collect()} == {"a b c", "d e f"}
