@@ -135,3 +135,48 @@ def test_fidelity_verifier_passes_identity_and_catches_corruption(spark, images)
     )
     flagged = verify_fidelity(images, bad).collect()
     assert {r["image_id"] for r in flagged} == {"img-0000000000"}
+
+
+def _pair_set(comp_rows, idmap):
+    from collections import defaultdict
+
+    comp = defaultdict(set)
+    for r in comp_rows:
+        comp[r["component"]].add(r["__id__"])
+        comp[r["component"]].add(r["component"])
+    out = set()
+    for members in comp.values():
+        mm = sorted(idmap[m] for m in members)
+        out.update((mm[i], mm[j]) for i in range(len(mm)) for j in range(i + 1, len(mm)))
+    return out
+
+
+def _truth_pair_set(truth_rows, col):
+    from collections import defaultdict
+
+    comp = defaultdict(set)
+    for r in truth_rows:
+        comp[r[col]].add(r["image_id"])
+    out = set()
+    for members in comp.values():
+        mm = sorted(members)
+        out.update((mm[i], mm[j]) for i in range(len(mm)) for j in range(i + 1, len(mm)))
+    return out
+
+
+def test_precision_and_recall_with_short_doc_policy(spark, images, truth):
+    """With short docs excluded from banding (they carry no shingle
+    evidence), caption MinHash achieves P=1.0 R=1.0 on the planted truth;
+    the parity default ('cluster') reproduces the reference's degenerate
+    all-short-docs mega-cluster instead (SURVEY §7.4)."""
+    res = image_dedup(images, MINHASH_CFG, SIMHASH_CFG, short_doc_policy="keep")
+    idmap = {r["__id__"]: r["image_id"] for r in res.corpus.select("__id__", "image_id").collect()}
+    got = _pair_set(res.caption_clusters.collect(), idmap)
+    want = _truth_pair_set(truth.collect(), "caption_cluster")
+    assert got == want  # precision 1.0 AND recall 1.0
+
+    res_parity = image_dedup(images, MINHASH_CFG, SIMHASH_CFG)
+    idmap2 = {r["__id__"]: r["image_id"] for r in res_parity.corpus.select("__id__", "image_id").collect()}
+    got2 = _pair_set(res_parity.caption_clusters.collect(), idmap2)
+    assert want <= got2           # recall still 1.0
+    assert len(got2) > len(want)  # plus the degenerate short-doc cluster

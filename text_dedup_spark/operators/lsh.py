@@ -47,14 +47,35 @@ def band_keys_expr(sig_col, cfg: MinHashConfig):
     return F.array(*keys)
 
 
-def band_rows(df: DataFrame, text_col: str, cfg: MinHashConfig, id_col: str = ID) -> DataFrame:
+def band_rows(
+    df: DataFrame,
+    text_col: str,
+    cfg: MinHashConfig,
+    id_col: str = ID,
+    short_doc_policy: str = "cluster",
+) -> DataFrame:
     """(id, band:int, band_hash:long) — one row per (document, band).
 
     The pandas UDF emits only the raw uint64 signature (numpy -> Arrow, no
     per-row Python banding); slicing + band-key hashing happen JVM-side in
     codegen (band_keys_expr). Works on batch and streaming frames alike.
+
+    ``short_doc_policy``: a document with fewer than ngram_size tokens has
+    NO shingles, so its signature is the all-MAX_HASH constant and EVERY
+    such document lands in one giant bucket (= one merged cluster).
+    'cluster' reproduces that reference behavior (minhash_spark.py:58-85 —
+    SURVEY §7.4 risk #2) and is the parity default; 'keep' excludes
+    short documents from banding entirely (no shingles => no evidence of
+    duplication => survivors), which removes the degenerate cluster AND its
+    skew. Exact-hash dedup still catches bytewise-equal short docs.
     """
     from ..functions.minhash_udf import make_signature_udf
+    from .textstats import tokens_expr
+
+    if short_doc_policy not in ("cluster", "keep"):
+        raise ValueError(f"unknown short_doc_policy {short_doc_policy!r}")
+    if short_doc_policy == "keep":
+        df = df.where(F.size(tokens_expr(F.col(text_col))) >= cfg.ngram_size)
 
     sig_udf = make_signature_udf(cfg)
     sigs = df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("__sig__"))

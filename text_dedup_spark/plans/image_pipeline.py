@@ -58,6 +58,7 @@ def image_dedup(
     simhash_cfg: SimHashConfig | None = None,
     phash_source: str = "column",
     hot_threshold: int | None = None,
+    short_doc_policy: str = "cluster",
 ) -> ImageDedupResult:
     """``phash_source``: 'column' trusts the stored phash int64;
     'pixels' recomputes it from the image bytes with the Arrow-batched
@@ -102,7 +103,8 @@ def image_dedup(
     # bands feed two shuffles (bucket-min + join back) — persist AND
     # materialize so the caption-signature UDF runs once and its two
     # consumers read a warm cache instead of convoying on partition locks
-    bands = band_rows(feats, "caption", minhash_cfg, ID).persist(
+    bands = band_rows(feats, "caption", minhash_cfg, ID,
+                      short_doc_policy=short_doc_policy).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     bands.count()

@@ -40,6 +40,7 @@ def minhash_dedup(
     cfg: MinHashConfig | None = None,
     id_col: str | None = None,
     hot_threshold: int | None = None,
+    short_doc_policy: str = "cluster",
 ) -> MinHashDedupResult:
     """Near-deduplicate ``df`` on ``text_col``.
 
@@ -58,7 +59,8 @@ def minhash_dedup(
     # bands feed two shuffles (bucket-min + join back) — persist so the
     # signature UDF runs once; CC eagerly materializes edges, after which
     # the band rows are dead weight and can be dropped.
-    bands = band_rows(corpus, text_col, cfg, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = band_rows(corpus, text_col, cfg, id_col,
+                      short_doc_policy=short_doc_policy).persist(StorageLevel.MEMORY_AND_DISK)
     edges = candidate_edges(bands, id_col, hot_threshold=hot_threshold)
     assignments = connected_components(edges, id_col)
     bands.unpersist()
