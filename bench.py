@@ -145,6 +145,10 @@ def scaling_worker(cpus: int, n_images: int) -> dict:
         MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7),
         SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram=3),
         phash_source="pixels",  # north star: perceptual features FROM pixels
+        # 10% of the synthetic corpus is short captions -> the all-MAX_HASH
+        # mega-bucket; route it through the broadcast hot-bucket path
+        # (identical edges, no skewed shuffle partition)
+        hot_threshold=50_000,
     )
     kept = res.kept.count()
     wall = time.monotonic() - t0

@@ -55,6 +55,7 @@ def stage_hash(
     dataset: str,
     start_id: int = 0,
     run_id: str | None = None,
+    short_doc_policy: str = "cluster",
 ) -> int:
     """Returns max assigned id (next dataset starts at max+1)."""
     run_id = run_id or uuid.uuid4().hex
@@ -63,7 +64,7 @@ def stage_hash(
         stamped = assign_dense_ids(df, ID, start=start_id)
         catalog.write(stamped, withid_name(dataset))
         stamped = catalog.read(withid_name(dataset))  # read back: one compute
-        bands = band_rows(stamped, text_col, cfg, ID)
+        bands = band_rows(stamped, text_col, cfg, ID, short_doc_policy=short_doc_policy)
         catalog.write(bands, bands_name(dataset))
     written = catalog.read(bands_name(dataset))
     rows_in = stamped.count()

@@ -54,6 +54,7 @@ def stage_features(
     dataset: str,
     phash_source: str = "column",
     run_id: str | None = None,
+    short_doc_policy: str = "cluster",
 ) -> None:
     run_id = run_id or uuid.uuid4().hex
     minhash_cfg = minhash_cfg.resolve()
@@ -76,7 +77,11 @@ def stage_features(
         # bands from the CHECKPOINT (not the raw table): the signature UDF
         # reads the narrow feats parquet, so bytes are decoded exactly once
         feats_ck = catalog.read(feats_name(dataset))
-        catalog.write(band_rows(feats_ck, "caption", minhash_cfg, ID), bands_name(dataset))
+        catalog.write(
+            band_rows(feats_ck, "caption", minhash_cfg, ID,
+                      short_doc_policy=short_doc_policy),
+            bands_name(dataset),
+        )
     written = catalog.read(bands_name(dataset))
     log_metric(catalog, run_id, "features", dataset,
                feats_ck.count(), written.count(), t.elapsed_times["features"])
