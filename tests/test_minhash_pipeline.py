@@ -145,3 +145,29 @@ def test_hot_bucket_path_identical_edges(spark):
     }
     bands.unpersist()
     assert plain == hot and len(plain) >= 39
+
+
+def test_assignments_invariant_to_partitioning(spark):
+    """Cluster assignments must be identical regardless of input
+    partitioning and shuffle-partition count (distributed determinism —
+    min-id representatives and content-derived keys everywhere)."""
+    from text_dedup_spark.config import MinHashConfig
+    from text_dedup_spark.plans.minhash_pipeline import minhash_dedup
+    from tests.conftest import synth_corpus
+
+    rows = synth_corpus(120, seed=13)
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = MinHashConfig(ngram_size=3, num_perm=16, threshold=0.7)
+
+    def run(df):
+        res = minhash_dedup(df, "text", cfg, id_col="doc_id")
+        return {(r["doc_id"], r["component"]) for r in res.assignments.collect()}
+
+    a = run(base.repartition(2))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = run(base.repartition(11, "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
