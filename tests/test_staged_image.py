@@ -61,3 +61,39 @@ def test_staged_metrics_and_lineage(spark, images, tmp_path_factory):
     lineage = catalog.read("lineage")
     assert lineage.count() > 0
     assert {"run_id", "stage"} <= set(lineage.columns)
+
+
+def test_staged_cross_dataset_dedup(spark, tmp_path_factory):
+    """Duplicates that span datasets must be caught by the global cluster
+    stage — the whole point of the reference's split-hash/global-dedup
+    scheme (SURVEY §3.2). Dataset B = a re-keyed copy of half of A's rows:
+    exact byte duplicates across datasets."""
+    from pyspark.sql import functions as F
+
+    base = images_table(spark, 100, seed=42).persist()
+    a = base
+    b = base.where(F.col("image_id") < "img-0000000050").withColumn(
+        "image_id", F.concat(F.lit("dsB-"), F.col("image_id"))
+    )
+    catalog = ParquetCatalog(spark, str(tmp_path_factory.mktemp("xds")))
+    out = run_staged_image(catalog, {"A": a, "B": b}, MC, SC)
+    kept_a, removed_a = out["A"]
+    kept_b, removed_b = out["B"]
+    assert kept_a + removed_a == 100 and kept_b + removed_b == 50
+    # Correct invariant: ONE survivor per merged cluster. Exact-byte
+    # clusters span datasets (and slots within a group), so across both
+    # outputs every distinct byte-content must appear EXACTLY once.
+    kept_all = catalog.read("A__kept").select("bytes").unionByName(
+        catalog.read("B__kept").select("bytes")
+    )
+    kept_hashes = [r[0] for r in kept_all.select(F.sha2("bytes", 256)).collect()]
+    assert len(kept_hashes) == len(set(kept_hashes))  # no content kept twice
+    all_hashes = {
+        r[0]
+        for r in base.select(F.sha2("bytes", 256)).collect()
+    }
+    # every distinct input content still represented (clusters keep one)...
+    # unless a near-dup modality merged distinct contents into one cluster,
+    # in which case kept <= distinct contents
+    assert set(kept_hashes) <= all_hashes
+    assert len(set(kept_hashes)) >= len(all_hashes) * 0.5
