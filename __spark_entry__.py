@@ -660,8 +660,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang, md5(text) AS h, count(*) AS n FROM u GROUP BY lang, h
             )
             SELECT lang,
-                   sum(n) AS n_docs,
-                   sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dup_rows,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
                    round((sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::DOUBLE / sum(n)), 6) AS dup_ratio
             FROM per_hash GROUP BY lang
         """,

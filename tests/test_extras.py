@@ -155,6 +155,37 @@ def test_embedding_near_pairs(spark, vectors):
     assert approx <= exact  # verification step admits no false positives
 
 
+def test_exact_near_pairs_with_empty_blocks(spark):
+    """Regression: with more blocks than occupied hash slots, some block-pair
+    groups have an empty left or right side. The empty-right case used to be
+    misread as a diagonal group (duplicating within-block pairs) and the
+    empty-left case crashed on np.linalg.norm of a 1-D empty array."""
+    from text_dedup_spark.operators.ann import _exact_near_pairs_blocked
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(6)]
+    rows.append((100, [x + rng.gauss(0, 0.001) for x in rows[0][1]]))  # near-dup of 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    # n_blocks=16 >> 7 vectors guarantees empty blocks on both sides
+    got = _exact_near_pairs_blocked(df, 0.99, n_blocks=16).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in got]
+    assert sorted(pairs) == [(0, 100)]
+    assert len(pairs) == len(set(pairs))  # no duplicated emissions
+
+    # and the planted-truth corpus at default n_blocks still matches the
+    # unblocked definition (every unordered pair exactly once)
+    data = {i: v for i, v in rows}
+    expect = set()
+    for a in data:
+        for b in data:
+            if a < b and _cosine(data[a], data[b]) >= 0.99:
+                expect.add((a, b))
+    assert set(pairs) == expect
+
+
 def test_empty_corpus_through_pipelines(spark):
     from text_dedup_spark.config import MinHashConfig, SimHashConfig
     from text_dedup_spark.operators.cc import connected_components

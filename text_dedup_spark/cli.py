@@ -142,7 +142,8 @@ def cmd_image_features(args) -> None:
     spark, _own = _session("text-dedup-image-features")
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
     stage_features(
-        catalog, _read(spark, args.input), _minhash_cfg(args),
+        catalog, _read(spark, args.input, getattr(args, "format", "parquet")),
+        _minhash_cfg(args),
         dataset=args.dataset, phash_source=args.phash_source,
     )
     if _own:
@@ -170,7 +171,11 @@ def cmd_image_apply(args) -> None:
 
     spark, _own = _session("text-dedup-image-apply")
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
-    kept, removed = stage_apply(catalog, _read(spark, args.input), args.dataset)
+    kept, removed = stage_apply(
+        catalog,
+        _read(spark, args.input, getattr(args, "format", "parquet")),
+        args.dataset,
+    )
     print(f"kept={kept} removed={removed}")
     if _own:
         spark.stop()

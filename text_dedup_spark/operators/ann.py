@@ -77,17 +77,25 @@ def brute_force_topk(
     )
 
 
-def make_sign_lsh_udf(dim: int, nbits: int, n_tables: int, seed: int = 42):
+def make_sign_lsh_udf(nbits: int, n_tables: int, seed: int = 42, dim: int | None = None):
     """array<float> -> array<int> of n_tables bucket ids (sign-bit LSH).
-    The projection matrix is driver-generated (deterministic) and closure-
-    broadcast; the UDF is one numpy matmul per Arrow batch."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, dim, nbits))
+
+    The projection matrix is deterministic in (seed, dim, nbits, n_tables).
+    ``dim`` may be omitted: it is then read from the first Arrow batch on
+    each worker — every worker derives the identical planes, and no extra
+    Spark job is spent discovering the vector length on the driver."""
     weights = (1 << np.arange(nbits)).astype(np.int64)
+    state: dict = {}
 
     @pandas_udf(ArrayType(IntegerType()))
     def sign_buckets(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        planes = state.get("planes")
+        if planes is None:
+            d = dim if dim is not None else mat.shape[1]
+            rng = np.random.RandomState(seed)
+            planes = rng.normal(size=(n_tables, d, nbits))
+            state["planes"] = planes
         out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
         for t in range(n_tables):
             bits = (mat @ planes[t]) > 0  # (batch, nbits)
@@ -107,14 +115,17 @@ def lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: bucket-collision candidates, exact re-rank."""
-    dim = len(corpus.select(vec_col).first()[0])
-    udf = make_sign_lsh_udf(dim, nbits, n_tables, seed)
+    """Approximate top-k: bucket-collision candidates, exact re-rank.
+
+    The candidate join and the pair-dedup shuffle carry ONLY 8-byte ids —
+    at scale the shuffle volume would otherwise be dominated by n_tables
+    replicated copies of every embedding. Vectors are re-joined exactly once
+    per side after the dedup, then scored with one numpy matmul per batch."""
+    udf = make_sign_lsh_udf(nbits, n_tables, seed)
 
     def bucketize(df: DataFrame, role: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"__{role}v__"),
             F.posexplode_outer(udf(F.col(vec_col))).alias("table", f"{role}_bucket"),
         )
 
@@ -123,13 +134,20 @@ def lsh_topk(
     cand = (
         cb.join(qb, ["table", "neighbor_bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__queryv__", "__neighborv__")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("__queryv__"), F.col("__neighborv__")), 6).alias("score"),
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    score = make_cosine_pairs_udf()
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            score(F.col("__qv__"), F.col("__cv__")).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -178,7 +196,6 @@ def ivf_topk(
       once and shuffled by cell, never cross-joined.
     - Exact cosine re-rank of candidates only.
     """
-    dim = len(corpus.select(vec_col).first()[0])
     cent_rows = (
         corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
@@ -240,28 +257,32 @@ def embedding_near_pairs(
     n_tables: int = 12,
     seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b, score) with id_a < id_b and cosine >= threshold."""
-    if approximate:
-        dim = len(df.select(vec_col).first()[0])
-        udf = make_sign_lsh_udf(dim, nbits, n_tables, seed)
-        b = df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            F.posexplode_outer(udf(F.col(vec_col))).alias("table", "bucket"),
-        )
-        left = b.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        right = b.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        cand = (
-            left.join(right, ["table", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-    else:
+    """(id_a, id_b, score) with id_a < id_b and cosine >= threshold.
+
+    Approximate path: bucket-collision candidates on 8-byte id pairs only
+    (no vectors in the bucket join or the pair-dedup shuffle), vectors
+    re-joined once per side, numpy-batched scoring."""
+    if not approximate:
         return _exact_near_pairs_blocked(df, threshold, id_col, vec_col)
+    udf = make_sign_lsh_udf(nbits, n_tables, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(udf(F.col(vec_col))).alias("table", "bucket"),
+    )
+    left = b.select("table", "bucket", F.col("id").alias("id_a"))
+    right = b.select("table", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    score = make_cosine_pairs_udf()
     return (
-        cand.select(
-            "id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score")
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", score(F.col("__va__"), F.col("__vb__")).alias("score"))
         .where(F.col("score") >= threshold)
     )
 
@@ -292,13 +313,18 @@ def _exact_near_pairs_blocked(
     ]
     # block -> the pair-groups it must be shipped to, with its role in each:
     # role 0 = "left" rows (block i), 1 = "right" rows (block j); diagonal
-    # groups (i == j) use role 0 only.
+    # groups (i == j) use role 0 only and carry an explicit diag flag —
+    # NEVER inferred from an empty right side, because a skewed/small corpus
+    # can legitimately leave a block (and hence one side of a group) empty.
     member_rows = []
     for i, j, pi in pairs:
-        member_rows.append((i, pi, 0))
+        diag = 1 if i == j else 0
+        member_rows.append((i, pi, 0, diag))
         if j != i:
-            member_rows.append((j, pi, 1))
-    members = spark.createDataFrame(member_rows, "block int, pair_id int, role int")
+            member_rows.append((j, pi, 1, diag))
+    members = spark.createDataFrame(
+        member_rows, "block int, pair_id int, role int, diag int"
+    )
 
     vecs = df.select(
         F.col(id_col).alias("id"),
@@ -306,16 +332,23 @@ def _exact_near_pairs_blocked(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("block"),
     )
     replicated = vecs.join(F.broadcast(members), "block").select(
-        "pair_id", "role", "id", "v"
+        "pair_id", "diag", "role", "id", "v"
     )
 
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64")})
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = bool(pdf["diag"].iloc[0])
         left = pdf[pdf["role"] == 0]
         right = pdf[pdf["role"] == 1]
+        if len(left) == 0 or (not diag and len(right) == 0):
+            return empty
         lids = left["id"].to_numpy()
         lmat = np.array(left["v"].tolist(), dtype=np.float64)
         lmat /= np.maximum(np.linalg.norm(lmat, axis=1, keepdims=True), 1e-300)
-        if len(right) == 0:  # diagonal block: pairs within `left`
+        if diag:  # pairs within `left`
             rids, rmat = lids, lmat
         else:
             rids = right["id"].to_numpy()
@@ -328,7 +361,7 @@ def _exact_near_pairs_blocked(
         a, b, s = a[keep], b[keep], scores[li, ri][keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         out = pd.DataFrame({"id_a": lo, "id_b": hi, "score": s})
-        if len(right) == 0:  # each within-block pair appears twice (i,j)+(j,i)
+        if diag:  # each within-block pair appears twice (i,j)+(j,i)
             out = out.drop_duplicates(["id_a", "id_b"])
         return out
 

@@ -149,5 +149,12 @@ def minhash_edges(
     # bands feed two shuffles (bucket-min agg + join back); persisting them
     # runs the signature UDF once instead of twice. MEMORY_AND_DISK: band
     # rows are num_bands x corpus and may not fit in executor memory.
+    # Edges (8-byte id pairs, tiny vs bands) are materialized eagerly via
+    # localCheckpoint so the band cache can be released here rather than
+    # leaking for the session lifetime (minhash_pipeline manages its own
+    # persist; this helper must too).
     bands = band_rows(df, text_col, cfg, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    return candidate_edges(bands, id_col)
+    try:
+        return candidate_edges(bands, id_col).localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
