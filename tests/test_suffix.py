@@ -86,6 +86,86 @@ def test_spark_operator_global_scope(spark):
         assert got[i] == expect[i]
 
 
+def _global_oracle(docs, k, strategy="overlapping"):
+    """The exact single-stream pass over the id-ordered concatenation —
+    what global_scope=True must reproduce distributed."""
+    rows = dedup_documents(sorted(docs), k, strategy)
+    return {i: (t, d) for i, t, d in rows if len(t) > 0}
+
+
+def _run_global(spark, docs, k, n_parts, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cfg = SuffixConfig(k=k, global_scope=True)
+    out = remove_duplicate_substrings(
+        df, "text", cfg, "doc_id", num_partitions=n_parts, **kw
+    ).collect()
+    return {r["doc_id"]: (r["text"], r["dup_bytes"]) for r in out}
+
+
+def test_global_distributed_cross_partition_dups(spark):
+    """Each copy of the planted passage is unique within its partition —
+    only the cross-partition hash exchange can find them."""
+    rng = random.Random(7)
+    passage = (
+        "this shared passage is considerably longer than the threshold so "
+        "that the substring detector must blank it out wherever it appears"
+    )
+    docs = []
+    for i in range(60):
+        filler = " ".join(rng.choice(["red", "green", "blue", "cyan"]) for _ in range(25))
+        text = filler
+        if i in (3, 31, 57):  # far apart -> land in different range partitions
+            text = filler[:20] + " " + passage + " " + filler[20:]
+        docs.append((i, text))
+    expect = _global_oracle(docs, 60)
+    for n_parts in (1, 3, 7):
+        got = _run_global(spark, docs, 60, n_parts)
+        assert got == expect, n_parts
+
+
+def test_global_distributed_seam_straddles(spark):
+    """Identical docs everywhere: every partition seam sits inside a
+    duplicated region, so straddling grams must be hashed and their spans
+    mapped back as clipped per-partition ranges."""
+    t = "every document carries exactly this same sentence content here"
+    docs = [(i, t) for i in range(24)]
+    expect = _global_oracle(docs, 50)
+    for n_parts in (1, 4, 6):
+        got = _run_global(spark, docs, 50, n_parts)
+        assert got == expect, n_parts
+
+
+def test_global_distributed_cogroup_path(spark):
+    """broadcast_notify_max=0 forces the cogroup delivery branch; results
+    must be identical to the broadcast branch and the oracle."""
+    rng = random.Random(9)
+    passage = "a duplicated stretch of text well past the threshold length used here"
+    docs = []
+    for i in range(40):
+        filler = " ".join(rng.choice(["ein", "zwei", "drei"]) for _ in range(20))
+        docs.append((i, filler + (" " + passage if i % 7 == 0 else "")))
+    expect = _global_oracle(docs, 50)
+    got = _run_global(spark, docs, 50, 5, broadcast_notify_max=0)
+    assert got == expect
+
+
+def test_global_distributed_mixed_and_empty_docs(spark):
+    """Empty docs, tiny partitions (num_partitions > docs), and a doc that
+    becomes empty after cleaning — all through the distributed path."""
+    passage = "the repeated chunk of bytes that is longer than the threshold k here"
+    docs = [
+        (0, "prefix " + passage + " suffix"),
+        (1, ""),
+        (2, passage),  # blanked entirely -> filtered
+        (3, "wholly unique line with no duplicate content at all in it"),
+        (4, ""),
+    ]
+    expect = _global_oracle(docs, 40)
+    for n_parts in (2, 8):
+        got = _run_global(spark, docs, 40, n_parts)
+        assert got == expect, n_parts
+
+
 def test_spark_operator_partition_local_determinism(spark):
     rng = random.Random(1)
     passage = "shared block of text long enough for the k threshold to trigger"

@@ -58,13 +58,34 @@ def _rolling_hashes(b: np.ndarray, k: int, base: int) -> np.ndarray:
     return (prefix[k:] - prefix[: n - k + 1]) * invpows[: n - k + 1]
 
 
-def duplicate_segments(data: bytes, k: int) -> List[Interval]:
-    """Global (start, stop) byte ranges covered by >= k-length duplicates,
-    merged with the 'overlapping' strategy (contiguous dup spans coalesce,
-    as the SA collect step produces maximal ranges)."""
+def gram_hash_pair(data: bytes, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 rolling hashes of every k-gram — two independent
+    bases, 128 bits total, for cross-partition matching where byte-exact
+    verification is not affordable (collision odds ~ n^2 / 2^128: < 1e-10
+    even at 10^14 grams)."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    return _rolling_hashes(b, k, _B1), _rolling_hashes(b, k, _B2)
+
+
+def positions_to_segments(pos: np.ndarray, k: int) -> List[Interval]:
+    """Maximal runs of the covered-byte set  ∪ [p, p+k)  for sorted dup
+    positions ``pos`` — a new merged range starts exactly where the gap to
+    the previous position exceeds k (equivalent to
+    merge_intervals('overlapping') on the equal-length spans)."""
+    if len(pos) == 0:
+        return []
+    brk = np.nonzero(np.diff(pos) > k)[0]
+    starts = pos[np.concatenate(([0], brk + 1))]
+    ends = pos[np.concatenate((brk, [len(pos) - 1]))] + k
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def local_duplicate_positions(data: bytes, k: int) -> np.ndarray:
+    """Sorted start positions of k-grams occurring >= 2 times in ``data``
+    — byte-exact (rolling hash proposes, byte comparison verifies)."""
     n = len(data)
     if n < k or k <= 0:
-        return []
+        return np.empty(0, dtype=np.int64)
     b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     # a single rolling hash only PROPOSES candidate runs — the byte-exact
     # verification below makes the result exact regardless of collisions,
@@ -82,7 +103,7 @@ def duplicate_segments(data: bytes, k: int) -> List[Interval]:
     cand_pos = order[dup_mask].astype(np.int64)
     cand_run = run_ids[dup_mask]  # nondecreasing (subset of sorted order)
     if len(cand_pos) == 0:
-        return []
+        return np.empty(0, dtype=np.int64)
 
     # Byte-exact verification within hash runs (guards rolling-hash
     # collisions), vectorized: compare every candidate against its run's
@@ -121,21 +142,48 @@ def duplicate_segments(data: bytes, k: int) -> List[Interval]:
     pos = np.sort(cand_pos[verified])
     if dup_list:
         pos = np.sort(np.concatenate([pos, np.array(dup_list, dtype=np.int64)]))
-    if len(pos) == 0:
-        return []
-    # merge_intervals('overlapping') on sorted equal-length spans [p, p+k):
-    # a new merged range starts exactly where the gap to the previous
-    # position exceeds k.
-    brk = np.nonzero(np.diff(pos) > k)[0]
-    starts = pos[np.concatenate(([0], brk + 1))]
-    ends = pos[np.concatenate((brk, [len(pos) - 1]))] + k
-    return list(zip(starts.tolist(), ends.tolist()))
+    return pos
+
+
+def duplicate_segments(data: bytes, k: int) -> List[Interval]:
+    """Global (start, stop) byte ranges covered by >= k-length duplicates,
+    merged with the 'overlapping' strategy (contiguous dup spans coalesce,
+    as the SA collect step produces maximal ranges)."""
+    return positions_to_segments(local_duplicate_positions(data, k), k)
+
+
+def distinct_hash_counts(
+    data: bytes, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (h1, h2) k-gram hash pairs with occurrence counts capped at
+    2, plus one occurrence position each — the cross-partition exchange
+    record. A cap of 2 is all the global 'total >= 2' duplicate test needs;
+    the position is meaningful for cnt == 1 rows (the gram's ONLY local
+    occurrence), which lets duplicate notifications come back as raw
+    positions instead of hashes — the finalize pass then needs no second
+    hashing pass and no membership matching."""
+    h1, h2 = gram_hash_pair(data, k)
+    if len(h1) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e.astype(np.int32), e
+    order = np.lexsort((h2, h1))
+    s1, s2 = h1[order], h2[order]
+    new = np.empty(len(s1), dtype=bool)
+    new[0] = True
+    new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    starts = np.nonzero(new)[0]
+    cnt = np.minimum(np.diff(np.append(starts, len(s1))), 2).astype(np.int32)
+    pos = order[starts].astype(np.int64)
+    return s1[starts].view(np.int64), s2[starts].view(np.int64), cnt, pos
+
+
 
 
 def dedup_documents(
     docs: Sequence[Tuple[int, str]],
     k: int,
     merge_strategy: str = "overlapping",
+    extra_ranges: Sequence[Interval] | None = None,
 ) -> List[Tuple[int, str, int]]:
     """Concatenate docs (UTF-8, no separators — suffix_array.py:308-317),
     find duplicate segments, restore into per-doc ranges, blank them out.
@@ -143,6 +191,11 @@ def dedup_documents(
     Returns (id, cleaned_text, duplicate_bytes_removed) per doc, preserving
     input order. Documents that become empty are NOT filtered here (the
     operator applies the reference's empty filter, suffix_array.py:354-357).
+
+    ``extra_ranges`` is the distributed hook: pre-clipped byte ranges of
+    content known to be duplicated elsewhere in the global stream
+    (cross-partition gram coverage and seam-straddling spans). Empty means
+    the classic single-stream pass.
     """
     encoded = [(i, t.encode("utf-8")) for i, t in docs]
     boundaries: List[Interval] = []
@@ -151,7 +204,11 @@ def dedup_documents(
         boundaries.append((off, off + len(eb)))
         off += len(eb)
     blob = b"".join(eb for _, eb in encoded)
-    segments = duplicate_segments(blob, k)
+
+    pos = local_duplicate_positions(blob, k)
+    segments = positions_to_segments(pos, k)
+    if extra_ranges:
+        segments = merge_intervals(list(segments) + list(extra_ranges), "overlapping")
     per_doc, _total = restore_and_merge(boundaries, segments, k, merge_strategy)
 
     out = []
@@ -162,6 +219,81 @@ def dedup_documents(
         cleaned = clean_up_bytes(eb, ranges)
         removed = sum(b - a for a, b in ranges)
         out.append((i, cleaned, removed))
+    return out
+
+
+def straddle_grams(
+    parts: Sequence[Tuple[int, int, bytes, bytes]], k: int
+) -> List[Tuple[int, int, int]]:
+    """Driver-side: hashes + global positions of every k-gram that straddles
+    a partition seam in the id-ordered global concatenation.
+
+    ``parts``: ordered (part_id, blob_len, head, tail) per non-empty
+    partition, head/tail = first/last min(blob_len, k-1) bytes. Every
+    straddling gram's bytes are provably within k-1 of some seam on each
+    side, hence inside the known head/tail material (tiny partitions are
+    fully known since head+tail reconstruct blobs of len <= 2(k-1)).
+
+    Returns [(h1_int64, h2_int64, global_pos)]; len(parts) * (k-1) entries
+    at most — driver-bounded.
+    """
+    if k <= 0 or not parts:
+        return []
+    # known contiguous byte segments of the global stream
+    segs: List[Tuple[int, bytes]] = []  # (global_start, bytes)
+    offsets: List[Tuple[int, int]] = []  # (global_start, global_end) per part
+    off = 0
+    for _pid, blen, head, tail in parts:
+        if blen <= len(head):  # head is the whole blob
+            known = [(off, head)]
+        elif blen <= len(head) + len(tail):  # head+tail reconstruct the blob
+            known = [(off, head + tail[len(head) + len(tail) - blen:])]
+        else:
+            known = [(off, head), (off + blen - len(tail), tail)]
+        for s, b in known:
+            if segs and segs[-1][0] + len(segs[-1][1]) == s:
+                segs[-1] = (segs[-1][0], segs[-1][1] + b)
+            else:
+                segs.append((s, b))
+        offsets.append((off, off + blen))
+        off += blen
+    ends = np.array([e for _s, e in offsets], dtype=np.int64)
+    starts = np.array([s for s, _e in offsets], dtype=np.int64)
+
+    out: List[Tuple[int, int, int]] = []
+    for s, b in segs:
+        if len(b) < k:
+            continue
+        h1, h2 = gram_hash_pair(b, k)
+        v1, v2 = h1.view(np.int64), h2.view(np.int64)
+        for g in range(len(b) - k + 1):
+            gpos = s + g
+            pi = int(np.searchsorted(starts, gpos, side="right")) - 1
+            if gpos + k > int(ends[pi]):  # crosses the seam after part pi
+                out.append((int(v1[g]), int(v2[g]), gpos))
+    return out
+
+
+def straddle_coverage(
+    parts: Sequence[Tuple[int, int, bytes, bytes]],
+    dup_positions: Sequence[int],
+    k: int,
+) -> List[Tuple[int, int, int]]:
+    """Map duplicated straddling-gram spans [g, g+k) to per-partition local
+    byte ranges (part_id, lo, hi), clipped at partition boundaries — exact,
+    because partition seams coincide with document boundaries where the
+    restore step splits segments anyway."""
+    bounds = []
+    off = 0
+    for pid, blen, _h, _t in parts:
+        bounds.append((pid, off, off + blen))
+        off += blen
+    out = []
+    for g in sorted(set(dup_positions)):
+        for pid, s, e in bounds:
+            lo, hi = max(g, s), min(g + k, e)
+            if lo < hi:
+                out.append((pid, lo - s, hi - s))
     return out
 
 

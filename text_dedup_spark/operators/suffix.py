@@ -5,31 +5,88 @@ corpus into one byte stream, external SA tools find >= k-byte duplicate
 ranges, `restore` maps them into documents, ranges are blanked out and empty
 docs dropped.
 
-Spark mapping: `mapInPandas` partition-local passes of the vectorized
-rolling-hash kernel (kernel/substr.py). Each task concatenates ITS partition
-— the same memory envelope as the reference's one-file-per-machine scheme,
-but parallel. Cross-partition duplicate substrings are out of scope for a
-partition-local pass (documented semantic difference, SURVEY §7.4: the
-reference's pass is inherently single-stream); set ``global_scope=True`` to
-force one partition and reproduce the exact global semantics, or rely on
-the MinHash/exact layers for cross-partition near-dups.
+Spark mapping, two scopes:
 
-``repartition(col)`` by a stable key (not round-robin) makes the partition
-contents — hence the output — deterministic for a given partition count.
+- ``global_scope=False`` (partition-local): `mapInPandas` passes of the
+  vectorized rolling-hash kernel (kernel/substr.py). Each task concatenates
+  ITS partition; cross-partition duplicate substrings fall to the
+  MinHash/exact layers. ``repartition(col)`` by a stable key (not
+  round-robin) makes the output deterministic for a given partition count.
+
+- ``global_scope=True`` (distributed global): reproduces the reference's
+  whole-corpus single-stream semantics WITHOUT a single-task stage. The
+  global stream is defined as the id-ordered concatenation (deterministic,
+  partition-count-invariant). Three rounds:
+
+  1. range-partition by id; each partition emits its distinct 128-bit
+     k-gram hashes with counts capped at 2, plus its first/last k-1 bytes
+     (the seam material, <= 2(k-1) bytes per partition);
+  2. the driver hashes the seam-straddling grams (all their bytes are
+     within k-1 of a seam, hence inside the collected heads/tails); a
+     groupBy (h1,h2) totals counts; every partition learns which of its
+     locally-unique grams are duplicated elsewhere (left_semi join), and
+     duplicated straddle spans become explicit pre-clipped local ranges;
+  3. each partition unions byte-exact local dup positions with
+     hash-matched cross-partition positions and seam ranges, then runs the
+     same restore/merge/clean algebra as the single-stream pass.
+
+  Exactness: segments are maximal runs of the covered-byte set, and
+  partition seams coincide with document boundaries — where `restore`
+  splits segments anyway — so clipping coverage at partition edges yields
+  per-doc ranges identical to the single-stream pass. Partition-local dups
+  stay byte-exact; cross-partition matching is 128-bit-hash exact
+  (collision odds < 1e-10 at 10^14 grams).
+
+  Scale shape: no stage exceeds partition-sized memory; the shuffles are
+  one range repartition of (id, text) and ONE gram-space exchange
+  (~28 bytes per distinct gram through a groupBy whose aggregate yields
+  both the dup test and the notifications). Notifications are raw
+  (partition, position) pairs — a notified gram is by definition locally
+  unique, so its one position identifies it — which makes the finalize
+  pass hash-free. When the notification set is small (the common case) it
+  is broadcast and stage 3 is a second pass over the already-partitioned,
+  persisted input — no second corpus shuffle; otherwise a cogroup delivers
+  notifications partition-aligned.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, List, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..config import SuffixConfig
-from ..kernel.substr import dedup_documents
+from ..kernel.substr import (
+    dedup_documents,
+    distinct_hash_counts,
+    positions_to_segments,
+    straddle_coverage,
+    straddle_grams,
+)
 from .ids import ID
+
+_PART = "__part__"
+
+
+def _out_schema(id_col: str, text_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(text_col, StringType()),
+            StructField("dup_bytes", LongType()),
+        ]
+    )
 
 
 def remove_duplicate_substrings(
@@ -38,17 +95,16 @@ def remove_duplicate_substrings(
     cfg: SuffixConfig | None = None,
     id_col: str = ID,
     num_partitions: int | None = None,
+    broadcast_notify_max: int = 2_000_000,
 ) -> DataFrame:
     """Returns (id, <text_col> cleaned, dup_bytes). Empty survivors are
     filtered (suffix_array.py:354-357 / P8)."""
     cfg = cfg or SuffixConfig()
-    schema = StructType(
-        [
-            StructField(id_col, LongType()),
-            StructField(text_col, StringType()),
-            StructField("dup_bytes", LongType()),
-        ]
-    )
+    if cfg.global_scope:
+        return _global_distributed(
+            df, text_col, cfg, id_col, num_partitions, broadcast_notify_max
+        )
+    schema = _out_schema(id_col, text_col)
     k, strategy = cfg.k, cfg.merge_strategy
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -63,13 +119,252 @@ def remove_duplicate_substrings(
         yield pd.DataFrame(rows, columns=[id_col, text_col, "dup_bytes"])
 
     selected = df.select(id_col, text_col)
-    if cfg.global_scope:
-        selected = selected.repartition(1)
-    elif num_partitions is not None:
+    if num_partitions is not None:
         selected = selected.repartition(num_partitions, F.col(id_col))
-
     cleaned = selected.mapInPandas(process, schema)
     return cleaned.where(F.length(F.col(text_col)) > 0)
+
+
+def _global_distributed(
+    df: DataFrame,
+    text_col: str,
+    cfg: SuffixConfig,
+    id_col: str,
+    num_partitions: int | None,
+    broadcast_notify_max: int,
+) -> DataFrame:
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    k, strategy = cfg.k, cfg.merge_strategy
+    if num_partitions is not None:
+        n_parts = num_partitions
+    else:
+        # small inputs get few partitions (each Spark stage costs fixed
+        # scheduling + python-worker latency); large inputs get full
+        # parallelism. Input partition count is the cheap proxy.
+        n_parts = max(
+            1,
+            min(
+                df.rdd.getNumPartitions(),
+                spark.sparkContext.defaultParallelism,
+            ),
+        )
+
+    part = (
+        df.select(id_col, text_col)
+        .repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn(_PART, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    seam_schema = StructType(
+        [
+            StructField(_PART, IntegerType()),
+            StructField("blen", LongType()),
+            StructField("head", BinaryType()),
+            StructField("tail", BinaryType()),
+        ]
+    )
+
+    def seam_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts_ = list(batches)
+        if not parts_:
+            return
+        pdf = pd.concat(parts_, ignore_index=True).sort_values(id_col)
+        pid = int(pdf[_PART].iloc[0])
+        blob = b"".join(t.encode("utf-8") for t in pdf[text_col].fillna(""))
+        if len(blob) == 0:
+            return
+        m = min(len(blob), k - 1)
+        yield pd.DataFrame(
+            {_PART: [pid], "blen": [len(blob)], "head": [blob[:m]], "tail": [blob[-m:]]}
+        )
+
+    hash_schema = StructType(
+        [
+            StructField(_PART, IntegerType()),
+            StructField("h1", LongType()),
+            StructField("h2", LongType()),
+            StructField("cnt", IntegerType()),
+            StructField("pos", LongType()),
+        ]
+    )
+
+    def hash_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts_ = list(batches)
+        if not parts_:
+            return
+        pdf = pd.concat(parts_, ignore_index=True).sort_values(id_col)
+        pid = int(pdf[_PART].iloc[0])
+        blob = b"".join(t.encode("utf-8") for t in pdf[text_col].fillna(""))
+        if len(blob) < k:
+            return
+        h1, h2, cnt, pos = distinct_hash_counts(blob, k)
+        yield pd.DataFrame(
+            {
+                _PART: np.full(len(h1), pid, dtype=np.int32),
+                "h1": h1,
+                "h2": h2,
+                "cnt": cnt,
+                "pos": pos,
+            }
+        )
+
+    try:
+        # job 1 (cheap, bytes only — also materializes the `part` cache):
+        # per-partition seam material, then the driver hashes every gram
+        # that straddles a partition seam (all its bytes are within k-1 of
+        # the seam, hence inside the collected heads/tails)
+        seam_rows = sorted(
+            part.mapInPandas(seam_scan, seam_schema).collect(),
+            key=lambda r: r[_PART],
+        )
+        seams: List[Tuple[int, int, bytes, bytes]] = [
+            (r[_PART], r["blen"], bytes(r["head"]), bytes(r["tail"]))
+            for r in seam_rows
+        ]
+        strad = straddle_grams(seams, k)  # [(h1, h2, gpos)] — driver-bounded
+
+        emits = part.mapInPandas(hash_scan, hash_schema)
+        if strad:
+            # one row PER straddle occurrence (cnt=1, pos=global position):
+            # multiplicity feeds the total, and duplicated occurrences come
+            # back with their global position for span mapping
+            strad_rows = spark.createDataFrame(
+                [(-1, h1, h2, 1, g) for h1, h2, g in strad],
+                f"{_PART} int, h1 long, h2 long, cnt int, pos long",
+            )
+            emits = emits.unionByName(strad_rows)
+
+        # ONE wide shuffle: group the gram space by (h1, h2); the dup test
+        # (total >= 2) and the notifications fall out of the same
+        # aggregate. A member with cnt == 1 is a locally-unique gram
+        # duplicated elsewhere -> its (partition, position) is the whole
+        # notification; part == -1 members are duplicated straddle grams
+        # whose global position the driver maps to clipped per-partition
+        # ranges. Map-side partial agg applies; member lists are bounded by
+        # n_parts plus the straddle occurrences of the gram.
+        agg = (
+            emits.groupBy("h1", "h2")
+            .agg(
+                F.sum("cnt").alias("total"),
+                F.collect_list(F.struct(_PART, "cnt", "pos")).alias("members"),
+            )
+            .where(F.col("total") >= 2)
+        )
+        notif_rows = (
+            agg.select(F.explode("members").alias("m"))
+            .select(
+                F.col(f"m.{_PART}").alias(_PART),
+                F.col("m.cnt").alias("cnt"),
+                F.col("m.pos").alias("pos"),
+            )
+            .where((F.col(_PART) == -1) | (F.col("cnt") == 1))
+            .select(_PART, "pos")
+        )
+
+        # Compress notifications to coverage INTERVALS per partition before
+        # they leave the cluster: the dup positions of a partition collapse
+        # into maximal runs of  ∪ [p, p+k)  — the exact shape the finalize
+        # pass needs. Dup-heavy corpora (whole documents duplicated) shrink
+        # from one row per gram to one row per duplicated region. One extra
+        # NARROW shuffle of (part, pos) rows, inside the same action.
+        # part == -1 rows are straddle-gram global positions (bounded by
+        # n_parts * (k-1)); they pass through uncompressed (kind=1).
+        def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(pdf[_PART].iloc[0])
+            pos = np.sort(pdf["pos"].to_numpy())
+            if pid == -1:
+                return pd.DataFrame(
+                    {_PART: np.full(len(pos), -1, dtype=np.int32),
+                     "kind": np.ones(len(pos), dtype=np.int32),
+                     "lo": pos, "hi": pos}
+                )
+            segs = positions_to_segments(pos, k)
+            lo = np.array([a for a, _ in segs], dtype=np.int64)
+            hi = np.array([b for _, b in segs], dtype=np.int64)
+            return pd.DataFrame(
+                {_PART: np.full(len(segs), pid, dtype=np.int32),
+                 "kind": np.zeros(len(segs), dtype=np.int32),
+                 "lo": lo, "hi": hi}
+            )
+
+        compressed = notif_rows.groupBy(_PART).applyInPandas(
+            compress, f"{_PART} int, kind int, lo long, hi long"
+        )
+        fetch_cap = broadcast_notify_max + len(strad) + 1
+        # job 2 (the big one): scan+hash+aggregate+compress, single action;
+        # Arrow collection (toPandas), never per-Row objects
+        fetched = compressed.limit(fetch_cap).toPandas()
+
+        out_schema = _out_schema(id_col, text_col)
+        if len(fetched) < fetch_cap:
+            is_strad = fetched["kind"].to_numpy() == 1
+            dup_gpos = fetched["lo"].to_numpy()[is_strad]
+            ranges_by_part: dict = {}
+            for pid, lo, hi in straddle_coverage(seams, dup_gpos.tolist(), k):
+                ranges_by_part.setdefault(pid, []).append((lo, hi))
+            for pid, g in fetched[~is_strad].groupby(_PART):
+                ranges_by_part.setdefault(int(pid), []).extend(
+                    zip(g["lo"].tolist(), g["hi"].tolist())
+                )
+            bc = spark.sparkContext.broadcast(ranges_by_part)
+
+            def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                parts_ = list(batches)
+                if not parts_:
+                    return
+                pdf = pd.concat(parts_, ignore_index=True).sort_values(id_col)
+                pid = int(pdf[_PART].iloc[0])
+                docs = list(zip(pdf[id_col].tolist(), pdf[text_col].fillna("").tolist()))
+                rows = dedup_documents(
+                    docs, k, strategy, extra_ranges=bc.value.get(pid, [])
+                )
+                yield pd.DataFrame(rows, columns=[id_col, text_col, "dup_bytes"])
+
+            cleaned = part.mapInPandas(finalize, out_schema)
+        else:
+            # even the compressed interval set exceeds the broadcast cap
+            # (pathological: isolated dup grams spaced > k apart across the
+            # whole corpus): deliver intervals partition-aligned via
+            # cogroup. Straddle rows are driver-bounded — collect just them
+            # (recomputes the scan once more; rare path).
+            strad_pdf = compressed.where(F.col("kind") == 1).toPandas()
+            seam_ranges = straddle_coverage(seams, strad_pdf["lo"].tolist(), k)
+            ranges_df = spark.createDataFrame(
+                seam_ranges, f"{_PART} int, lo long, hi long"
+            )
+            notif_all = compressed.where(F.col("kind") == 0).select(
+                _PART, "lo", "hi"
+            ).unionByName(ranges_df)
+
+            def cofinalize(docs_pdf: pd.DataFrame, notif_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(docs_pdf) == 0:
+                    return pd.DataFrame(columns=[id_col, text_col, "dup_bytes"])
+                docs_pdf = docs_pdf.sort_values(id_col)
+                docs = list(
+                    zip(docs_pdf[id_col].tolist(), docs_pdf[text_col].fillna("").tolist())
+                )
+                ranges = list(
+                    zip(notif_pdf["lo"].tolist(), notif_pdf["hi"].tolist())
+                )
+                rows = dedup_documents(docs, k, strategy, extra_ranges=ranges)
+                return pd.DataFrame(rows, columns=[id_col, text_col, "dup_bytes"])
+
+            cleaned = (
+                part.groupby(_PART)
+                .cogroup(notif_all.groupby(_PART))
+                .applyInPandas(cofinalize, out_schema)
+            )
+
+        # job 3: materialize before releasing the cache the plan depends on
+        return cleaned.where(F.length(F.col(text_col)) > 0).localCheckpoint(
+            eager=True
+        )
+    finally:
+        part.unpersist()
 
 
 def duplicate_byte_stats(
