@@ -153,19 +153,22 @@ def audio_meta_table(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                samples, rate = decode_audio(bytes(row[bytes_col]))
-                rows.append(
-                    {
-                        **{k: row[k] for k in keep},
-                        "sample_rate": rate,
-                        "n_samples": len(samples),
-                        "duration_sec": len(samples) / rate if rate else 0.0,
-                        "afp": _signed64(audio_fingerprint64(samples, rate)),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            # decode is inherently per-clip; iterate raw values (zip over
+            # .values) — no pandas Series-per-row materialization
+            rates = np.empty(len(pdf), dtype=np.int32)
+            counts = np.empty(len(pdf), dtype=np.int64)
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, data in enumerate(pdf[bytes_col].values):
+                samples, rate = decode_audio(bytes(data))
+                rates[i] = rate
+                counts[i] = len(samples)
+                fps[i] = _signed64(audio_fingerprint64(samples, rate))
+            out = pdf[keep].copy()
+            out["sample_rate"] = rates
+            out["n_samples"] = counts
+            out["duration_sec"] = np.where(rates > 0, counts / np.maximum(rates, 1), 0.0)
+            out["afp"] = fps
+            yield out
 
     return df.mapInPandas(process, schema)
 
@@ -180,20 +183,20 @@ def video_meta_table(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                frames = decode_video_frames(bytes(row[bytes_col]))
-                sampled = frames[::sample_every]
-                rows.append(
-                    {
-                        **{k: row[k] for k in keep},
-                        "n_frames": int(frames.shape[0]),
-                        "height": int(frames.shape[1]),
-                        "width": int(frames.shape[2]),
-                        "vfp": _signed64(frames_fingerprint64(sampled)),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            nfr = np.empty(len(pdf), dtype=np.int32)
+            hs = np.empty(len(pdf), dtype=np.int32)
+            ws = np.empty(len(pdf), dtype=np.int32)
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, data in enumerate(pdf[bytes_col].values):
+                frames = decode_video_frames(bytes(data))
+                nfr[i], hs[i], ws[i] = frames.shape
+                fps[i] = _signed64(frames_fingerprint64(frames[::sample_every]))
+            out = pdf[keep].copy()
+            out["n_frames"] = nfr
+            out["height"] = hs
+            out["width"] = ws
+            out["vfp"] = fps
+            yield out
 
     return df.mapInPandas(process, schema)
 

@@ -34,8 +34,8 @@ def make_simhash_udf(cfg: SimHashConfig):
     """caption:string -> signature:long (uint64 fingerprint bit-cast)."""
     if cfg.f != 64:
         raise NotImplementedError(
-            "LongType signature path supports f=64 only (phash and the "
-            "reference default); f=128 would need two longs"
+            "LongType signature path is f=64; use make_simhash128_udf for "
+            "the two-long f=128 representation"
         )
     f, ngram = cfg.f, cfg.ngram
 
@@ -47,6 +47,87 @@ def make_simhash_udf(cfg: SimHashConfig):
         return pd.Series(sigs.view(np.int64))
 
     return simhash64
+
+
+def make_simhash128_udf(cfg: SimHashConfig):
+    """caption:string -> struct(sig_hi:long, sig_lo:long) — the 128-bit
+    fingerprint split MSB-half/LSB-half (reference f=128, simhash.py:224-227:
+    xxh128 digest bits via bitarray; here two bit-cast uint64 halves)."""
+    assert cfg.f == 128
+    ngram = cfg.ngram
+
+    @pandas_udf("sig_hi long, sig_lo long")
+    def simhash128(texts: pd.Series) -> pd.DataFrame:
+        from ..kernel.simhash import simhash_signature
+
+        m = (1 << 64) - 1
+        his, los = [], []
+        for t in texts.tolist():
+            sig = simhash_signature(t if t is not None else "", f=128, ngram=ngram)
+            his.append(_to_signed64(sig >> 64))
+            los.append(_to_signed64(sig & m))
+        return pd.DataFrame({"sig_hi": his, "sig_lo": los})
+
+    return simhash128
+
+
+def _slice128_expr(hi: Column, lo: Column, s: int, e: int) -> Column:
+    """Bits [s, e) of a 128-bit value (MSB-first index space) held as two
+    longs, right-aligned into one long. e - s <= 64."""
+    w = e - s
+    if e <= 64:
+        piece = F.shiftrightunsigned(hi, 64 - e)
+    elif s >= 64:
+        piece = F.shiftrightunsigned(lo, 128 - e)
+    else:
+        hi_bits = 64 - s  # low hi_bits of hi word
+        lo_bits = e - 64  # top lo_bits of lo word
+        piece = F.shiftleft(
+            hi.bitwiseAND(F.lit(_to_signed64((1 << hi_bits) - 1))), lo_bits
+        ).bitwiseOR(F.shiftrightunsigned(lo, 64 - lo_bits))
+    if w < 64:
+        piece = piece.bitwiseAND(F.lit(_to_signed64((1 << w) - 1)))
+    return piece
+
+
+def _place128(pieces: list, d: int, w: int, piece: Column) -> None:
+    """Place a w-bit piece at MSB-first offset d of a (hi, lo) accumulator
+    list [hi_expr, lo_expr]."""
+    if d + w <= 64:
+        pieces[0] = pieces[0].bitwiseOR(F.shiftleft(piece, 64 - (d + w)))
+    elif d >= 64:
+        pieces[1] = pieces[1].bitwiseOR(F.shiftleft(piece, 128 - (d + w)))
+    else:
+        lo_bits = d + w - 64
+        pieces[0] = pieces[0].bitwiseOR(F.shiftrightunsigned(piece, lo_bits))
+        pieces[1] = pieces[1].bitwiseOR(
+            F.shiftleft(
+                piece.bitwiseAND(F.lit(_to_signed64((1 << lo_bits) - 1))),
+                128 - (d + w),
+            )
+        )
+
+
+def bucket_keys128_expr(hi: Column, lo: Column, cfg: SimHashConfig) -> Column:
+    """array<struct<key_hi:long, key_lo:long>> of bucket keys for a 128-bit
+    fingerprint in two longs — pure Catalyst, like the 64-bit path.
+
+    permute(x) & search_mask keeps exactly the leading (b-k) blocks placed
+    consecutively from the MSB, so the key is assembled directly from the
+    leading blocks' source slices (no full permute needed)."""
+    perms = create_permutations(cfg.f, cfg.bit_diff, cfg.num_bucket)
+    keys = []
+    for p in perms:
+        acc = [F.lit(0).cast("long"), F.lit(0).cast("long")]
+        d = 0
+        n_lead = p.b - p.k
+        for width, offset in zip(p.widths[:n_lead], p.offsets[:n_lead]):
+            # source interval in MSB-first space: dest d, source d + offset
+            s = d + offset
+            _place128(acc, d, width, _slice128_expr(hi, lo, s, s + width))
+            d += width
+        keys.append(F.struct(acc[0].alias("key_hi"), acc[1].alias("key_lo")))
+    return F.array(*keys)
 
 
 def permute_expr(col: Column, perm: Permutation) -> Column:
@@ -83,3 +164,8 @@ def bucket_keys_expr(col: Column, cfg: SimHashConfig) -> Column:
 def hamming_expr(a: Column, b: Column) -> Column:
     """bit_count(a ^ b) — pure Catalyst (simhash.py:41-64 equivalent)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def hamming128_expr(a_hi: Column, a_lo: Column, b_hi: Column, b_lo: Column) -> Column:
+    """128-bit Hamming distance over two-long fingerprints — pure Catalyst."""
+    return F.bit_count(a_hi.bitwiseXOR(b_hi)) + F.bit_count(a_lo.bitwiseXOR(b_lo))

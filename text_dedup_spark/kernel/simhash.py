@@ -28,7 +28,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .xxh import xxh64_int
+from .xxh import xxh3_128_int, xxh64_int
 
 
 def hamming_distance(a: int, b: int) -> int:
@@ -109,6 +109,12 @@ def create_permutations(f: int, k: int, b: int) -> List[Permutation]:
     >>> len(create_permutations(64, 3, 4))
     4
     """
+    if k < 0 or k > b:
+        raise ValueError(
+            f"bit_diff k={k} must be between 0 and num_bucket b={b}: the "
+            "bucketing splits the fingerprint into b blocks and requires "
+            "candidates to agree on some (b-k)-block prefix"
+        )
     masks = block_masks(f, b)
     indices = set(range(len(masks)))
     results = []
@@ -120,20 +126,13 @@ def create_permutations(f: int, k: int, b: int) -> List[Permutation]:
 
 
 def unsigned_hash(obj: bytes, f: int = 64) -> int:
-    """xxh64 digest interpreted MSB-first (simhash.py:197-230). f=128 needs
-    xxh128 (xxh3), which we don't reimplement; gate behind the optional
-    ``xxhash`` package."""
+    """Digest interpreted MSB-first (simhash.py:197-230): xxh64 for f=64,
+    XXH3-128 for f=128 (kernel/xxh.py's spec implementation — the
+    reference's ``xxhash.xxh128`` IS XXH3-128)."""
     if f == 64:
         return xxh64_int(obj)
     if f == 128:
-        try:
-            import xxhash  # pragma: no cover - optional dependency
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "f=128 requires the optional 'xxhash' package (xxh128/xxh3); "
-                "only f=64 is supported natively"
-            ) from e
-        return int.from_bytes(xxhash.xxh128(obj).digest(), "big")
+        return xxh3_128_int(obj)
     raise ValueError(f"Unsupported fingerprint size: {f}")
 
 

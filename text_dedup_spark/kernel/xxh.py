@@ -150,3 +150,217 @@ def xxh64_batch(datas, seed: int = 0):
     acc ^= acc >> np.uint64(32)
     out[idx] = acc
     return out
+
+
+# --- XXH3-128 (the public XXH3 spec, same site/repo as XXH64) ----------------
+#
+# The reference's f=128 SimHash path hashes tokens with ``xxhash.xxh128``
+# (XXH3-128, simhash.py:224-227). That C package is not available here, so
+# the public specification (xxhash_spec.md / xxhash.h, BSD-2) is implemented
+# directly: seed 0, default 192-byte secret. Self-checks in tests:
+# - XXH3-64("") golden 0x2D06800538D394C2 pins secret bytes 56..72 and the
+#   avalanche (the 64/128 variants share both);
+# - XXH3-128("") golden 0x99AA06D3014798D86001C324468D497F pins 64..96;
+# - exact comparison against the ``xxhash`` package when it is importable.
+
+_KSECRET = bytes.fromhex(
+    "b8fe6c3923a44bbe7c01812cf721ad1cded46de9839097db7240a4a4b7b3671f"
+    "cb79e64eccc0e578825ad07dccff7221b8084674f743248ee03590e6813a264c"
+    "3c2852bb91c300cb88d0658b1b532ea371644897a20df94e3819ef46a9deacd8"
+    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d9787364"
+    "eac5ac8334d3ebc3c581a0fffa1363eb170ddd51b7f0da49d3165526 29d4689e"
+    "2b16be587d47a1fc8ff8b8d17ad031ce45cb3a8f95160428afd7fbcabb4b407e".replace(" ", "")
+)
+assert len(_KSECRET) == 192
+
+_P32_1 = 0x9E3779B1
+_P32_2 = 0x85EBCA77
+_P32_3 = 0xC2B2AE3D
+_PMX1 = 0x165667919E3779F9
+_PMX2 = 0x9FB21C651E98DF25
+
+
+def _r64(b: bytes, off: int) -> int:
+    return int.from_bytes(b[off : off + 8], "little")
+
+
+def _r32(b: bytes, off: int) -> int:
+    return int.from_bytes(b[off : off + 4], "little")
+
+
+def _swap32(x: int) -> int:
+    return int.from_bytes(x.to_bytes(4, "little"), "big")
+
+
+def _swap64(x: int) -> int:
+    return int.from_bytes(x.to_bytes(8, "little"), "big")
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def _avalanche64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    return h ^ (h >> 32)
+
+
+def _avalanche3(h: int) -> int:
+    h ^= h >> 37
+    h = (h * _PMX1) & _M64
+    return h ^ (h >> 32)
+
+
+def _mult64to128(a: int, b: int) -> tuple[int, int]:
+    p = a * b
+    return p & _M64, (p >> 64) & _M64
+
+
+def _fold64(a: int, b: int) -> int:
+    lo, hi = _mult64to128(a, b)
+    return lo ^ hi
+
+
+def _mix16(data: bytes, off: int, sec: int, seed: int) -> int:
+    return _fold64(
+        _r64(data, off) ^ ((_r64(_KSECRET, sec) + seed) & _M64),
+        _r64(data, off + 8) ^ ((_r64(_KSECRET, sec + 8) - seed) & _M64),
+    )
+
+
+def _mix32(acc_lo: int, acc_hi: int, data: bytes, o1: int, o2: int, sec: int, seed: int):
+    acc_lo = (acc_lo + _mix16(data, o1, sec, seed)) & _M64
+    acc_lo ^= (_r64(data, o2) + _r64(data, o2 + 8)) & _M64
+    acc_hi = (acc_hi + _mix16(data, o2, sec + 16, seed)) & _M64
+    acc_hi ^= (_r64(data, o1) + _r64(data, o1 + 8)) & _M64
+    return acc_lo, acc_hi
+
+
+def xxh3_64_int(data: bytes, seed: int = 0) -> int:
+    """XXH3-64 — implemented only as a spec cross-check for the shared
+    secret/avalanche machinery (golden: XXH3_64("") = 0x2D06800538D394C2)."""
+    if len(data) == 0:
+        return _avalanche64(seed ^ _r64(_KSECRET, 56) ^ _r64(_KSECRET, 64))
+    raise NotImplementedError("only the len-0 spec check is needed")
+
+
+def xxh3_128_int(data: bytes, seed: int = 0) -> int:
+    """XXH3-128 of ``data`` as a 128-bit int (== xxhash.xxh128(data)
+    .intdigest(); .digest() is the big-endian serialization)."""
+    n = len(data)
+    if n <= 16:
+        if n > 8:
+            bl = (_r64(_KSECRET, 32) ^ _r64(_KSECRET, 40)) - seed & _M64
+            bh = (_r64(_KSECRET, 48) ^ _r64(_KSECRET, 56)) + seed & _M64
+            ilo = _r64(data, 0)
+            ihi = _r64(data, n - 8)
+            lo, hi = _mult64to128(ilo ^ ihi ^ bl, _P1)
+            lo = (lo + ((n - 1) << 54)) & _M64
+            ihi ^= bh
+            hi = (hi + ihi + ((ihi & 0xFFFFFFFF) * (_P32_2 - 1))) & _M64
+            lo ^= _swap64(hi)
+            rlo, rhi = _mult64to128(lo, _P2)
+            rhi = (rhi + hi * _P2) & _M64
+            return (_avalanche3(rhi) << 64) | _avalanche3(rlo)
+        if n >= 4:
+            s = (seed ^ (_swap32(seed & 0xFFFFFFFF) << 32)) & _M64
+            ilo = _r32(data, 0)
+            ihi = _r32(data, n - 4)
+            i64 = ilo + (ihi << 32)
+            bitflip = ((_r64(_KSECRET, 16) ^ _r64(_KSECRET, 24)) + s) & _M64
+            keyed = i64 ^ bitflip
+            lo, hi = _mult64to128(keyed, (_P1 + (n << 2)) & _M64)
+            hi = (hi + (lo << 1)) & _M64
+            lo ^= hi >> 3
+            lo ^= lo >> 35
+            lo = (lo * _PMX2) & _M64
+            lo ^= lo >> 28
+            return (_avalanche3(hi) << 64) | lo
+        if n >= 1:
+            c1, c2, c3 = data[0], data[n >> 1], data[n - 1]
+            cl = (c1 << 16) | (c2 << 24) | c3 | (n << 8)
+            ch = _rotl32(_swap32(cl), 13)
+            bl = ((_r32(_KSECRET, 0) ^ _r32(_KSECRET, 4)) + seed) & _M64
+            bh = ((_r32(_KSECRET, 8) ^ _r32(_KSECRET, 12)) - seed) & _M64
+            return (_avalanche64(ch ^ bh) << 64) | _avalanche64(cl ^ bl)
+        return (
+            _avalanche64(seed ^ _r64(_KSECRET, 80) ^ _r64(_KSECRET, 88)) << 64
+        ) | _avalanche64(seed ^ _r64(_KSECRET, 64) ^ _r64(_KSECRET, 72))
+    if n <= 128:
+        lo, hi = (n * _P1) & _M64, 0
+        if n > 32:
+            if n > 64:
+                if n > 96:
+                    lo, hi = _mix32(lo, hi, data, 48, n - 64, 96, seed)
+                lo, hi = _mix32(lo, hi, data, 32, n - 48, 64, seed)
+            lo, hi = _mix32(lo, hi, data, 16, n - 32, 32, seed)
+        lo, hi = _mix32(lo, hi, data, 0, n - 16, 0, seed)
+        rlo = (lo + hi) & _M64
+        rhi = (lo * _P1 + hi * _P4 + ((n - seed) & _M64) * _P2) & _M64
+        return ((0 - _avalanche3(rhi)) & _M64) << 64 | _avalanche3(rlo)
+    if n <= 240:
+        rounds = n // 32
+        lo, hi = (n * _P1) & _M64, 0
+        for i in range(4):
+            lo, hi = _mix32(lo, hi, data, 32 * i, 32 * i + 16, 32 * i, seed)
+        lo, hi = _avalanche3(lo), _avalanche3(hi)
+        for i in range(4, rounds):
+            lo, hi = _mix32(
+                lo, hi, data, 32 * i, 32 * i + 16, 3 + 32 * (i - 4), seed
+            )
+        lo, hi = _mix32(lo, hi, data, n - 16, n - 32, 136 - 17 - 16, (0 - seed) & _M64)
+        rlo = (lo + hi) & _M64
+        rhi = (lo * _P1 + hi * _P4 + ((n - seed) & _M64) * _P2) & _M64
+        return ((0 - _avalanche3(rhi)) & _M64) << 64 | _avalanche3(rlo)
+    return _xxh3_128_long(data, n)
+
+
+def _xxh3_128_long(data: bytes, n: int) -> int:
+    acc = [_P32_3, _P1, _P2, _P3, _P4, _P32_2, _P5, _P32_1]
+
+    def accumulate(stripe_off: int, sec_off: int) -> None:
+        for i in range(8):
+            dv = _r64(data, stripe_off + 8 * i)
+            dk = dv ^ _r64(_KSECRET, sec_off + 8 * i)
+            acc[i ^ 1] = (acc[i ^ 1] + dv) & _M64
+            acc[i] = (acc[i] + (dk & 0xFFFFFFFF) * (dk >> 32)) & _M64
+
+    stripes_per_block = (192 - 64) // 8  # 16
+    block_len = 64 * stripes_per_block
+    nb_blocks = (n - 1) // block_len
+    for b in range(nb_blocks):
+        for s in range(stripes_per_block):
+            accumulate(b * block_len + 64 * s, 8 * s)
+        for i in range(8):  # scramble
+            a = acc[i]
+            a ^= a >> 47
+            a ^= _r64(_KSECRET, 192 - 64 + 8 * i)
+            acc[i] = (a * _P32_1) & _M64
+    nb_stripes = ((n - 1) - block_len * nb_blocks) // 64
+    for s in range(nb_stripes):
+        accumulate(nb_blocks * block_len + 64 * s, 8 * s)
+    accumulate(n - 64, 192 - 64 - 7)  # last stripe
+
+    def merge(sec_off: int, start: int) -> int:
+        r = start
+        for i in range(4):
+            r = (
+                r
+                + _fold64(
+                    acc[2 * i] ^ _r64(_KSECRET, sec_off + 16 * i),
+                    acc[2 * i + 1] ^ _r64(_KSECRET, sec_off + 16 * i + 8),
+                )
+            ) & _M64
+        return _avalanche3(r)
+
+    lo = merge(11, (n * _P1) & _M64)
+    hi = merge(192 - 64 - 11, (~(n * _P2)) & _M64)
+    return (hi << 64) | lo
+
+
+def xxh3_128_digest(data: bytes, seed: int = 0) -> bytes:
+    """Big-endian 16-byte digest, matching ``xxhash.xxh128(data).digest()``."""
+    return xxh3_128_int(data, seed).to_bytes(16, "big")
