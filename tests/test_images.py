@@ -180,3 +180,90 @@ def test_precision_and_recall_with_short_doc_policy(spark, images, truth):
     got2 = _pair_set(res_parity.caption_clusters.collect(), idmap2)
     assert want <= got2           # recall still 1.0
     assert len(got2) > len(want)  # plus the degenerate short-doc cluster
+
+
+# --- real baseline JPEG (pure-numpy codec, sources/jpeg.py) ------------------
+
+
+def _smooth_rgb(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(100 + yy + seed, 0, 255),
+            np.clip(80 + xx // 2 + seed, 0, 255),
+            np.clip(60 + (xx + yy) // 3, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_codec_roundtrips():
+    from text_dedup_spark.sources.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+
+    rng = np.random.RandomState(3)
+    gray = (rng.rand(40, 56) * 255).astype(np.uint8)
+    assert psnr(gray, decode_jpeg_baseline(encode_jpeg_baseline(gray, 1))) > 50
+    img = _smooth_rgb(50, 70)
+    for sub in ("444", "420"):
+        for rst in (0, 2):
+            back = decode_jpeg_baseline(
+                encode_jpeg_baseline(img, 1, subsampling=sub, restart_interval=rst)
+            )
+            assert back.shape == img.shape
+            assert psnr(img, back) > 45, (sub, rst)
+    # lossier quant still decodes, with measurably lower fidelity
+    q8 = decode_jpeg_baseline(encode_jpeg_baseline(img, 8))
+    assert 30 < psnr(img, q8) < psnr(img, decode_jpeg_baseline(encode_jpeg_baseline(img, 1)))
+
+
+def test_jpeg_decoder_rejects_progressive_and_garbage():
+    import pytest as _pytest
+
+    from text_dedup_spark.sources.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
+
+    data = bytearray(encode_jpeg_baseline(_smooth_rgb(16, 16), 1))
+    sof = data.index(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(bytes(data))
+    with _pytest.raises(ValueError):
+        decode_jpeg_baseline(b"not a jpeg at all")
+
+
+def test_jpeg_rows_through_phash_and_fidelity(spark):
+    """fmt='jpeg' rows flow through the pixels phash path and the PSNR
+    fidelity verifier (the BASELINE.json input contract for lossy rows)."""
+    from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+
+    rows_png, rows_jpg, rows_bad = [], [], []
+    for i in range(6):
+        img = _smooth_rgb(32, 32, seed=7 * i)
+        cap = f"caption {i}"
+        rows_png.append((f"im{i}", bytearray(encode_png(img)), 32, 32, "png", cap, 0))
+        rows_jpg.append(
+            (f"im{i}", bytearray(encode_jpeg_baseline(img, 1)), 32, 32, "jpeg", cap, 0)
+        )
+        rows_bad.append(
+            (f"im{i}", bytearray(encode_jpeg_baseline(img, 60)), 32, 32, "jpeg", cap, 0)
+        )
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    png_df = spark.createDataFrame(rows_png, schema)
+    jpg_df = spark.createDataFrame(rows_jpg, schema)
+    bad_df = spark.createDataFrame(rows_bad, schema)
+
+    # phash over real-JPEG bytes equals phash over the PNG of the same image
+    # (near-lossless quant => identical 64-bit perceptual hash)
+    ph_png = {
+        r["image_id"]: r["ph"]
+        for r in png_df.select("image_id", phash_from_bytes(F.col("bytes"), F.col("fmt")).alias("ph")).collect()
+    }
+    ph_jpg = {
+        r["image_id"]: r["ph"]
+        for r in jpg_df.select("image_id", phash_from_bytes(F.col("bytes"), F.col("fmt")).alias("ph")).collect()
+    }
+    assert ph_png == ph_jpg
+
+    # fidelity verifier: near-lossless JPEG passes PSNR>=40 vs the PNG truth
+    assert verify_fidelity(png_df, jpg_df).count() == 0
+    # brutally quantized JPEG rows are flagged
+    assert verify_fidelity(png_df, bad_df).count() == 6

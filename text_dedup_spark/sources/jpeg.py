@@ -1,0 +1,473 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public spec).
+
+No image library exists in this container, so — like the PNG codec in
+sources/png.py — the format is implemented directly from the public
+specification. Scope: baseline sequential DCT, 8-bit, grayscale or YCbCr
+with arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/SOF0/SOS/
+DRI/RSTn markers. Progressive (SOF2) and arithmetic coding raise.
+
+The decoder is fully general baseline (tables come from the file's DHT/DQT
+segments). The encoder exists so tests can produce REAL JPEG bytes without
+external deps; it emits 4:4:4 with flat quantization tables (scale 1 =
+near-lossless: the only loss is DCT rounding, keeping the input_hint
+PSNR >= 40 dB fidelity invariant checkable end-to-end). Any spec-compliant
+decoder reads its output; the choice of Huffman tables is embedded in DHT
+per the spec, so no Annex-K tables are required.
+
+Entropy decoding is an inherently sequential bit stream — this is the slow
+path and fine for fixtures; production corpora would decode via a native
+library behind the same ``decode_image`` seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag: index i of the scan -> (row, col) flat index in the 8x8 block
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0)
+_C *= np.sqrt(2.0 / 8.0)
+_C[0] *= np.sqrt(0.5)
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+def _build_huffman(counts, symbols):
+    """(counts[1..16], symbols) -> dict[(length, code)] = symbol, per the
+    canonical code construction of T.81 Annex C."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_lengths(counts, symbols):
+    """Same walk, but symbol -> (length, code) for the encoder."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:  # a marker: behave as if padded (the scan loop handles it)
+                self.pos -= 1
+                b = 0
+                self.acc = (self.acc << 8)
+                self.nbits += 8
+                return
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _decode_huffman_symbol(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(value: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+def decode_jpeg_baseline(data: bytes) -> np.ndarray:
+    """JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None
+    restart_interval = 0
+    out = None
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                qt[tq] = tbl
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (baseline)
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            h, w, ncomp = struct.unpack(">HHB", seg[1:6])
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG is supported (SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + n])
+                table = _build_huffman(counts, symbols)
+                if tc == 0:
+                    huff_dc[th] = table
+                else:
+                    huff_ac[th] = table
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "dc": tables >> 4, "ac": tables & 0xF})
+            out = _decode_scan(
+                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            )
+            break
+        pos += seglen
+
+    if out is None:
+        raise ValueError("no SOS scan found")
+    return out
+
+
+def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in scan
+    ]
+    reader = _BitReader(data, start)
+    pred = [0] * len(scan)
+    mcu_count = 0
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                # skip the RSTn marker
+                while data[reader.pos] != 0xFF or not (0xD0 <= data[reader.pos + 1] <= 0xD7):
+                    reader.pos += 1
+                reader.pos += 2
+                pred = [0] * len(scan)
+            for ci, comp in enumerate(scan):
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        t = _decode_huffman_symbol(reader, huff_dc[comp["dc"]])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman_symbol(reader, huff_ac[comp["ac"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coeffs * q[np.arange(64)]
+                        spatial = _idct(block.reshape(8, 8)) + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+
+    # upsample each plane to full size, crop
+    full = []
+    for ci, comp in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# --- encoder (4:4:4, flat quant, embedded simple Huffman tables) -------------
+
+# encoder-side canonical tables: 12 DC size symbols at 4 bits; all 256 AC
+# (run, size) symbols at 9 bits except the last at 10 (a DHT count byte caps
+# at 255) — valid prefix codes, declared in DHT so any spec-compliant
+# decoder reads them. Simplicity over compression ratio.
+_ENC_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_SYMBOLS = list(range(12))
+_ENC_AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_ENC_AC_SYMBOLS = list(range(256))
+_ENC_DC = _encode_lengths(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+_ENC_AC = _encode_lengths(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+
+
+def _size_of(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _write_block(writer: _BitWriter, coeffs: np.ndarray, pred: int) -> int:
+    dc = int(coeffs[0])
+    diff = dc - pred
+    s = _size_of(diff)
+    length, code = _ENC_DC[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.nonzero(coeffs)[0].max()) if np.any(coeffs) else 0
+    for k in range(1, 64):
+        v = int(coeffs[k])
+        if k > last_nz:
+            length, code = _ENC_AC[0x00]  # EOB
+            writer.write(code, length)
+            break
+        if v == 0:
+            run += 1
+            if run == 16:
+                length, code = _ENC_AC[0xF0]  # ZRL
+                writer.write(code, length)
+                run = 0
+            continue
+        s = _size_of(v)
+        length, code = _ENC_AC[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    quant_scale: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> baseline JFIF bytes. Flat quantization =
+    ``quant_scale`` at every coefficient (1 = near-lossless, larger =
+    lossier); ``subsampling``: '444' or '420' (2x2 box-filtered chroma);
+    ``restart_interval``: emit DRI + RSTn every N MCUs when > 0."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        rf, gf, bf = (arr[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        if subsampling == "420":
+            he, we = h + (h & 1), w + (w & 1)
+            cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+            crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+            cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            factors = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        planes = [y, cb, cr]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    # flat table: identical value at every position, so zigzag serialization
+    # order (which DQT requires) is trivially satisfied
+    q = np.full(64, int(quant_scale), dtype=np.int32)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, (factors[c][0] << 4) | factors[c][1], 0])
+    out += _seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
+    dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
+    out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        th, tw = mcus_y * fv * 8, mcus_x * fh * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                out += writer.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                writer = _BitWriter()
+                pred = [0] * ncomp
+            for ci, p in enumerate(padded):
+                fh, fv = factors[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = np.round(
+                            _fdct(block) / float(quant_scale)
+                        ).astype(np.int64)
+                        pred[ci] = _write_block(
+                            writer, coef.ravel()[_ZIGZAG], pred[ci]
+                        )
+            mcu_count += 1
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -91,16 +91,14 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Typed decode entry point for the multimodal column.
 
-    PNG is real; JPEG decode requires an image library that is not in this
-    container and is stubbed per the build contract."""
+    PNG and baseline JPEG are both real pure-numpy codecs ('jpeg_sim' is
+    the legacy synthetic-lossy PNG container, kept for fixture compat)."""
     if fmt in ("png", "jpeg_sim"):
         return decode_png(data)
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "real JPEG decode needs PIL/libjpeg (not in this container); "
-            "synthetic lossy rows use fmt='jpeg_sim' (deterministic "
-            "quantization inside a PNG container)"
-        )
+        from .jpeg import decode_jpeg_baseline
+
+        return decode_jpeg_baseline(data)
     raise ValueError(f"unknown image format {fmt!r}")
 
 
