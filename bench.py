@@ -316,16 +316,154 @@ def _mb_phash(_):
     return 0
 
 
+def _max_task_seconds(spark, since_stage: int) -> float:
+    """Max single-task duration across stages with id >= since_stage, via
+    the local Spark UI REST API (quantile 1.0 of taskSummary duration)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return float("nan")
+
+    def get(path):
+        with urllib.request.urlopen(f"{ui}/api/v1{path}", timeout=10) as r:
+            return json.loads(r.read())
+
+    app = get("/applications")[0]["id"]
+    worst = 0.0
+    for st in get(f"/applications/{app}/stages?status=COMPLETE"):
+        if st["stageId"] < since_stage:
+            continue
+        try:
+            summ = get(
+                f"/applications/{app}/stages/{st['stageId']}/"
+                f"{st['attemptId']}/taskSummary?quantiles=1.0"
+            )
+            worst = max(worst, summ["duration"][0] / 1000.0)
+        except Exception:
+            worst = max(worst, st.get("taskTime", 0) / 1000.0)
+    return round(worst, 3)
+
+
+def skew_bench(n_docs: int = 2_000_000, short_frac: float = 0.25) -> dict:
+    """Hot-bucket evidence (SURVEY §7.4 risk #2): a corpus where
+    ``short_frac`` of documents are shorter than the shingle size, so under
+    the parity default (short_doc_policy='cluster') they ALL share the
+    all-MAX_HASH signature — each of the b band keys of that signature is
+    ONE bucket holding short_frac of the corpus. Runs candidate-edge
+    generation with the plain shuffle join vs the broadcast hot-bucket path
+    and reports wall + MAX SINGLE-TASK time (the bounded-task-time claim).
+
+    AQE is OFF here deliberately: with AQE on, its sort-merge skew split
+    also bounds the mega-key tasks (splitting the left side, replicating
+    the one-row min side), and at sandbox scales that untuned fallback is
+    competitive — the broadcast path is the insurance for buckets beyond
+    what a single shuffle partition can even hold. This mode isolates the
+    mechanism. Edge sets are checked identical (the hot path is a physical
+    rewrite, not a semantic one).
+    """
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.config import MinHashConfig
+    from text_dedup_spark.operators.lsh import band_rows, candidate_edges
+    from text_dedup_spark.sources.session import build_session
+
+    spark = build_session(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        shuffle_partitions=32,
+        app_name="text-dedup-skew",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    # corpus is generated executor-side, fully Catalyst — no driver list
+    base = spark.range(0, n_docs, 1, 32).select(F.col("id").alias("doc_id"))
+    toks = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(
+                F.lit("w"), F.pmod(F.xxhash64("doc_id", i), F.lit(5000))
+            ),
+        ),
+        " ",
+    )
+    df = base.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.xxhash64("doc_id", F.lit(99)), F.lit(100))
+            < F.lit(int(short_frac * 100)),
+            F.lit("tiny doc"),  # < ngram_size tokens -> all-MAX_HASH signature
+        )
+        .otherwise(toks)
+        .alias("text"),
+    ).persist()
+    df.count()
+    # b=4 wide bands concentrate the skew into 4 mega keys (the harshest
+    # shape for the plain join at a fixed short fraction)
+    cfg = MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7, b=4, r=16)
+    bands = band_rows(df, "text", cfg, "doc_id").persist()
+    bands.count()  # signature UDF cost excluded from both timed windows
+
+    walls, counts, max_task = {}, {}, {}
+    for name, thr in (("plain_shuffle_join", None), ("broadcast_hot_path", 50_000)):
+        # stage ids are globally increasing: stages >= this mark belong to
+        # this mode's window
+        before = _next_stage_id(spark)
+        t0 = time.monotonic()
+        counts[name] = candidate_edges(bands, "doc_id", hot_threshold=thr).count()
+        walls[name] = round(time.monotonic() - t0, 3)
+        max_task[name] = _max_task_seconds(spark, before)
+    bands.unpersist()
+    df.unpersist()
+    spark.stop()
+    assert counts["plain_shuffle_join"] == counts["broadcast_hot_path"], counts
+    return {
+        "metric": "hot_bucket_max_task_bound",
+        "value": round(
+            max_task["plain_shuffle_join"] / max(max_task["broadcast_hot_path"], 1e-9), 3
+        ),
+        "unit": "x",
+        "queries": {
+            **{f"wall_{k}": v for k, v in walls.items()},
+            **{f"max_task_{k}": v for k, v in max_task.items()},
+            "edges": counts["broadcast_hot_path"],
+            "n_docs": n_docs,
+            "short_frac": short_frac,
+        },
+        "sf": n_docs,
+    }
+
+
+def _next_stage_id(spark) -> int:
+    """Highest stage id seen so far + 1 (REST window marker)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return 0
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10) as r:
+            app = json.loads(r.read())[0]["id"]
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages", timeout=10
+        ) as r:
+            stages = json.loads(r.read())
+        return max((s["stageId"] for s in stages), default=-1) + 1
+    except Exception:
+        return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=None)
     ap.add_argument("--microbench", action="store_true")
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--images", type=int, default=SCALING_IMAGES)
     args = ap.parse_args()
 
     if args.scaling_worker:
         print(json.dumps(scaling_worker(args.scaling_worker, args.images)))
+    elif args.skew:
+        print(json.dumps(skew_bench()))
     elif args.microbench:
         mb = kernel_microbench(SCALING_N, SCALING_N * 4)
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

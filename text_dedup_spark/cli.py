@@ -21,6 +21,7 @@ path does when the session has an Iceberg catalog — sources/catalog.py).
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from pyspark.sql import SparkSession
@@ -218,6 +219,24 @@ def cmd_simhash(args) -> None:
         spark.stop()
 
 
+def cmd_audit_bands(args) -> None:
+    from .plans.staged import audit_split_vs_merged
+    from .sources.catalog import ParquetCatalog
+
+    spark, _own = _session("text-dedup-audit-bands")
+    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    cfg = _minhash_cfg(args)
+    report = audit_split_vs_merged(
+        catalog, args.datasets, args.column, cfg,
+        short_doc_policy=args.short_doc_policy,
+    )
+    print(json.dumps(report))
+    if _own:
+        spark.stop()
+    if not report["ok"]:
+        raise SystemExit(1)
+
+
 def cmd_suffix(args) -> None:
     from .operators.ids import ID, assign_unique_ids
     from .operators.suffix import remove_duplicate_substrings
@@ -304,6 +323,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_bucket", type=int, default=4)
     p.add_argument("--ngram", type=int, default=3)
     p.set_defaults(fn=cmd_simhash)
+
+    p = sub.add_parser(
+        "audit-bands",
+        help="checkpoint-fidelity audit: per-dataset band checkpoints vs a "
+        "fresh one-pass hash of the merged corpus (show_splitHashesDiff)",
+    )
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--datasets", nargs="+", required=True)
+    p.add_argument("--column", default="text")
+    # same spellings as the `hash` stage so a run's flags paste across
+    p.add_argument("--ngram_size", type=int, default=5)
+    p.add_argument("--num_perm", type=int, default=256)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--b", type=int, default=None)
+    p.add_argument("--r", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--short_doc_policy", default="cluster", choices=["cluster", "keep"])
+    p.set_defaults(fn=cmd_audit_bands)
 
     p = sub.add_parser("suffix", help="duplicate-substring removal")
     p.add_argument("--input", required=True)

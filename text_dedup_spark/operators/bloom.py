@@ -1,0 +1,138 @@
+"""Bloom pre-filter for incremental / streaming exact dedup.
+
+Reference analogue: ``bloom_filter.py:52-68`` keeps a driver-local
+ScalableBloomFilter and drops any row whose hash *might* have been seen —
+accepting false-positive DROPS at the configured error rate. This engine's
+batch exact dedup already subsumes that operator exactly
+(operators/exact.py), so here the Bloom filter takes the role it actually
+earns at scale: a PRE-filter that prunes the expensive exact membership
+check, never a decision maker — a Bloom miss proves "definitely new" (no
+false negatives), a Bloom hit routes the row to the exact anti-join. No
+non-duplicate is ever dropped; the exact join's probe side shrinks to
+(true duplicates + fpp * novel rows).
+
+Build is distributed (per-partition numpy bit arrays OR-ed on the driver),
+probe is Catalyst-hashed (xxhash64 with k seeds) + a vectorized bit-test
+pandas UDF over the broadcast bit array. Sizing: m = -n ln(fpp)/ln(2)^2
+bits; the sketch must fit in executor memory to broadcast (~1.2 GB per
+10^9 history rows at 1% — beyond that, shard the history and the sketch by
+hash range and apply per shard).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+@dataclass(frozen=True)
+class BloomSketch:
+    bits: np.ndarray  # uint8[m/8]
+    m: int  # number of bits
+    k: int  # number of hash functions (xxhash64 seeds 0..k-1)
+
+    def fpp_estimate(self, n: int) -> float:
+        return (1.0 - math.exp(-self.k * n / self.m)) ** self.k
+
+
+def _positions_expr(col: Column, m: int, k: int) -> Column:
+    """array<long> of k bit positions — pure Catalyst (xxhash64 per seed)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m)) for s in range(k)]
+    )
+
+
+def build_bloom(
+    df: DataFrame, col: str, expected: int, fpp: float = 0.01
+) -> BloomSketch:
+    """Distributed Bloom build over ``df[col]`` (any orderable type —
+    hashed with xxhash64). Per-partition uint8 bit arrays are OR-merged on
+    the driver (P * m/8 bytes collected; m sized from ``expected``/``fpp``)."""
+    m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / max(expected, 1) * math.log(2)))
+
+    pos_df = df.select(_positions_expr(F.col(col), m, k).alias("__pos__"))
+
+    def to_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arr = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            pos = np.concatenate(pdf["__pos__"].to_numpy())
+            np.bitwise_or.at(arr, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bits": [arr.tobytes()]})
+
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for row in pos_df.mapInPandas(to_bits, "bits binary").collect():
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return BloomSketch(bits=merged, m=m, k=k)
+
+
+def might_contain(df_col: Column, sketch: BloomSketch, spark) -> Column:
+    """Boolean Column: True iff ``df_col``'s value MIGHT be in the sketch
+    (false positives at fpp; false negatives impossible). Positions are
+    Catalyst-computed; the bit test is one numpy gather per Arrow batch over
+    the broadcast bit array."""
+    bc = spark.sparkContext.broadcast(sketch.bits)
+
+    @pandas_udf("boolean")
+    def test_bits(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.stack(pos.to_numpy())  # (batch, k)
+        hit = (bits[mat // 8] >> (mat % 8).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    return test_bits(_positions_expr(df_col, sketch.m, sketch.k))
+
+
+def exact_dedup_against_history(
+    new: DataFrame,
+    historical_hashes: DataFrame,
+    text_col: str,
+    sketch: BloomSketch,
+    algo: str = "md5",
+) -> DataFrame:
+    """Rows of ``new`` whose content does NOT appear in the history.
+
+    The Bloom miss side (definitely new) bypasses the join entirely; only
+    Bloom hits are anti-joined against ``historical_hashes`` (one column
+    ``__h__``). Works on batch frames and on streaming frames (stream-static
+    anti-join). Exactness: the anti-join decides every potentially-seen row,
+    so a false-positive Bloom hit costs a join probe, never a dropped row.
+    """
+    from .exact import content_hash
+
+    spark = new.sparkSession
+    hashed = new.withColumn("__h__", content_hash(F.col(text_col), algo))
+    flagged = hashed.withColumn(
+        "__maybe__", might_contain(F.col("__h__"), sketch, spark)
+    )
+    definite_new = flagged.where(~F.col("__maybe__")).drop("__maybe__", "__h__")
+    checked = (
+        flagged.where(F.col("__maybe__"))
+        .drop("__maybe__")
+        .join(historical_hashes.select("__h__"), "__h__", "left_anti")
+        .drop("__h__")
+    )
+    return definite_new.unionByName(checked)
+
+
+def history_hashes(df: DataFrame, text_col: str, algo: str = "md5") -> DataFrame:
+    """The one-column hash table the anti-join probes (write it as a
+    checkpoint table next to the corpus; tiny relative to payloads)."""
+    from .exact import content_hash
+
+    return df.select(content_hash(F.col(text_col), algo).alias("__h__")).distinct()

@@ -150,3 +150,39 @@ def run_staged(
                 catalog.read(f"{ds}__removed").count(),
             )
     return results
+
+
+def audit_split_vs_merged(
+    catalog,
+    datasets: list[str],
+    text_col: str,
+    cfg: MinHashConfig,
+    short_doc_policy: str = "cluster",
+) -> dict:
+    """Checkpoint-fidelity audit (show_splitHashesDiff.py:276-297 as a
+    production tool, not just a test): the union of the per-dataset band
+    checkpoints must equal the bands of the merged id-stamped corpus hashed
+    in one pass. Returns diff counts, computed distributed (exceptAll both
+    ways — no driver materialization of the band sets; the reference
+    subtracts RDDs then collects)."""
+    from functools import reduce
+
+    ck = reduce(
+        DataFrame.unionByName,
+        [catalog.read(bands_name(ds)) for ds in datasets],
+    ).select(ID, "band", "band_hash")
+    merged = reduce(
+        DataFrame.unionByName,
+        [catalog.read(withid_name(ds)) for ds in datasets],
+    )
+    fresh = band_rows(
+        merged, text_col, cfg, ID, short_doc_policy=short_doc_policy
+    ).select(ID, "band", "band_hash")
+    only_ck = ck.exceptAll(fresh).count()
+    only_fresh = fresh.exceptAll(ck).count()
+    return {
+        "checkpoint_rows": ck.count(),
+        "only_in_checkpoint": only_ck,
+        "only_in_fresh": only_fresh,
+        "ok": only_ck == 0 and only_fresh == 0,
+    }
