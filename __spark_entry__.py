@@ -324,6 +324,41 @@ def q_image_fidelity(spark, sf_dir):
     return verify_fidelity(imgs, transformed, 40.0).select("image_id", "psnr")
 
 
+def q_bloom_dedup_vs_history(spark, sf_dir):
+    """Bloom-pre-filtered incremental exact dedup: 'new' rows (a third of
+    the corpus plus planted clones of historical rows) anti-joined against
+    the history, with the Bloom pruning the join probe side. The oracle is
+    a PLAIN anti-join — the Bloom is a physical pre-filter that must not
+    change semantics (no false drops), which this query proves against an
+    independent engine."""
+    from text_dedup_spark.operators.bloom import (
+        build_bloom,
+        exact_dedup_against_history,
+        history_hashes,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = d.where(F.col("doc_id") % 3 != 0)
+    new = d.where(F.col("doc_id") % 3 == 0).unionByName(
+        hist.where(F.col("doc_id") % 5 == 1).select(
+            (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    hashes = history_hashes(hist, "text")
+    sketch = build_bloom(hashes, "__h__", expected=max(hist.count(), 1), fpp=0.01)
+    return exact_dedup_against_history(new, hashes, "text", sketch).select("doc_id")
+
+
+def q_simhash128_assignments(spark, sf_dir):
+    """f=128 SimHash (two-long signatures, XXH3-128 tokens, Catalyst
+    128-bit bucket keys) over the near-dup corpus. bit_diff scales with f
+    (128-bit fingerprints double absolute Hamming distances for the same
+    relative perturbation), so 6/8 here vs the 3/4 used at f=64."""
+    cfg = SimHashConfig(f=128, bit_diff=6, num_bucket=8, ngram=3)
+    df = _docs_with_near_dups(spark, sf_dir)
+    return simhash_assignments_from_text(df, "text", cfg, "doc_id")
+
+
 def q_audit_clone_pairs(spark, sf_dir):
     """False-positive audit (operators/audit.py) over the deterministic
     clone assignment (each suffix-perturbed clone assigned to its source):
@@ -444,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_clone_pairs": q_audit_clone_pairs,
         "event_sessions": q_event_sessions,
         "dup_ratio_by_lang": q_dup_ratio_by_lang,
+        "bloom_dedup_vs_history": q_bloom_dedup_vs_history,
+        "simhash128_assignments": q_simhash128_assignments,
         "image_phash_dedup": q_image_phash_dedup,
         "image_meta": q_image_meta,
         "audio_near_dup": q_audio_near_dup,
@@ -649,6 +686,19 @@ def oracle_sql() -> dict[str, str]:
                               / len(list_distinct(shc.s || sh.s))
                          ELSE 0.0 END, 6) < 0.7 AS is_false_positive
             FROM shc JOIN sh USING (doc_id)
+        """,
+        "bloom_dedup_vs_history": f"""
+            WITH hist AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+            ),
+            new_rows AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM hist
+              WHERE doc_id % 5 = 1
+            )
+            SELECT doc_id FROM new_rows
+            WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM hist)
         """,
         "dup_ratio_by_lang": f"""
             WITH u AS (
