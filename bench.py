@@ -424,7 +424,7 @@ def _max_task_seconds(spark, since_stage: int) -> float:
     return round(worst, 3)
 
 
-def skew_bench(n_docs: int = 2_000_000, short_frac: float = 0.25) -> dict:
+def skew_bench(n_docs: int = 6_000_000, short_frac: float = 0.3) -> dict:
     """Hot-bucket evidence (SURVEY §7.4 risk #2): a corpus where
     ``short_frac`` of documents are shorter than the shingle size, so under
     the parity default (short_doc_policy='cluster') they ALL share the
@@ -451,7 +451,10 @@ def skew_bench(n_docs: int = 2_000_000, short_frac: float = 0.25) -> dict:
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=32,
         app_name="text-dedup-skew",
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        # AQE off (see docstring); UI on — the REST taskSummary endpoint is
+        # how max single-task durations are read
+        extra_conf={"spark.sql.adaptive.enabled": "false",
+                    "spark.ui.enabled": "true"},
     )
     # corpus is generated executor-side, fully Catalyst — no driver list
     base = spark.range(0, n_docs, 1, 32).select(F.col("id").alias("doc_id"))
@@ -475,9 +478,10 @@ def skew_bench(n_docs: int = 2_000_000, short_frac: float = 0.25) -> dict:
         .alias("text"),
     ).persist()
     df.count()
-    # b=4 wide bands concentrate the skew into 4 mega keys (the harshest
-    # shape for the plain join at a fixed short fraction)
-    cfg = MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7, b=4, r=16)
+    # b=1 (one 64-row band) concentrates ALL short docs into ONE bucket
+    # key — the harshest possible shape: the plain join must process
+    # short_frac of the corpus in a single task
+    cfg = MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7, b=1, r=64)
     bands = band_rows(df, "text", cfg, "doc_id").persist()
     bands.count()  # signature UDF cost excluded from both timed windows
 
@@ -494,11 +498,18 @@ def skew_bench(n_docs: int = 2_000_000, short_frac: float = 0.25) -> dict:
     df.unpersist()
     spark.stop()
     assert counts["plain_shuffle_join"] == counts["broadcast_hot_path"], counts
+    import math as _math
+
+    ratio = (
+        round(max_task["plain_shuffle_join"] / max_task["broadcast_hot_path"], 3)
+        if not (_math.isnan(max_task["plain_shuffle_join"])
+                or _math.isnan(max_task["broadcast_hot_path"]))
+        and max_task["broadcast_hot_path"] > 0
+        else None
+    )
     return {
         "metric": "hot_bucket_max_task_bound",
-        "value": round(
-            max_task["plain_shuffle_join"] / max(max_task["broadcast_hot_path"], 1e-9), 3
-        ),
+        "value": ratio,
         "unit": "x",
         "queries": {
             **{f"wall_{k}": v for k, v in walls.items()},
