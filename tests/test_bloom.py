@@ -78,3 +78,35 @@ def test_bloom_empty_history(spark):
     new = spark.createDataFrame(_docs(50, "x", 5), "doc_id long, text string")
     out = exact_dedup_against_history(new, empty, "text", sketch)
     assert out.count() == 50
+
+
+def test_bloom_dedup_on_streaming_frame(spark, tmp_path):
+    """exact_dedup_against_history works as a stream-static join (the
+    incremental-ingest deployment shape): streamed new docs against a
+    static history, bloom pruning intact."""
+    hist = spark.createDataFrame(_docs(300, "hist", 6), "doc_id long, text string")
+    hashes = history_hashes(hist, "text").persist()
+    hashes.count()
+    sketch = build_bloom(hashes, "__h__", expected=300, fpp=0.01)
+
+    new_rows = _docs(200, "new", 7) + [
+        (20_000 + i, t) for i, t in _docs(300, "hist", 6)[:50]
+    ]  # 50 streamed rows duplicate historical content
+    inp = str(tmp_path / "bloom_stream_in")
+    spark.createDataFrame(new_rows, "doc_id long, text string").coalesce(1)\
+        .write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    out = exact_dedup_against_history(stream, hashes, "text", sketch)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("bloom_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select doc_id from bloom_stream").collect()}
+    assert got == {doc_id for doc_id, _ in _docs(200, "new", 7)}
+    hashes.unpersist()

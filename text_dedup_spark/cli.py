@@ -68,6 +68,18 @@ def _add_minhash_args(p: argparse.ArgumentParser, output: bool = True) -> None:
     p.add_argument("--b", type=int, default=None)
     p.add_argument("--r", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--short_doc_policy", default="cluster", choices=["cluster", "keep"],
+        help="'cluster' reproduces the reference's all-short-docs mega-"
+        "cluster (parity default); 'keep' excludes shingle-less docs from "
+        "banding — the production-sane choice (exact-hash still catches "
+        "bytewise-equal short docs)",
+    )
+    p.add_argument(
+        "--hot_threshold", type=int, default=None,
+        help="bucket size above which the broadcast hot-bucket path routes "
+        "the bucket (bounded max task time; identical edges)",
+    )
 
 
 def _minhash_cfg(args) -> MinHashConfig:
@@ -86,7 +98,11 @@ def cmd_minhash(args) -> None:
 
     spark, _own = _session("text-dedup-minhash")
     df = _read(spark, args.input, getattr(args, "format", "parquet"))
-    res = minhash_dedup(df, args.column, _minhash_cfg(args), id_col=args.id_column)
+    res = minhash_dedup(
+        df, args.column, _minhash_cfg(args), id_col=args.id_column,
+        hot_threshold=args.hot_threshold,
+        short_doc_policy=args.short_doc_policy,
+    )
     _write(res.kept, f"{args.output}/kept", args.output_format)
     _write(res.removed, f"{args.output}/removed", args.output_format)
     _write(res.assignments, f"{args.output}/clusters", args.output_format)
@@ -107,6 +123,7 @@ def cmd_hash(args) -> None:
         _minhash_cfg(args),
         dataset=args.dataset,
         start_id=args.start_id,
+        short_doc_policy=args.short_doc_policy,
     )
     print(max_assigned)  # next dataset's --start_id is this + 1 (PREV_ID role)
     if _own:
@@ -146,6 +163,7 @@ def cmd_image_features(args) -> None:
         catalog, _read(spark, args.input, getattr(args, "format", "parquet")),
         _minhash_cfg(args),
         dataset=args.dataset, phash_source=args.phash_source,
+        short_doc_policy=args.short_doc_policy,
     )
     if _own:
         spark.stop()
