@@ -53,6 +53,16 @@ def test_langid(spark):
     assert detect_language("the cat sat on the mat and the dog ran over the field") == "en"
     assert detect_language("der hund lief über das feld und der fuchs sprang") == "de"
     assert detect_language("") == "und"
+    # script-range short circuits + extended profile table
+    assert detect_language("кошка спит на диване пока собака бегает по полю") == "ru"
+    assert detect_language("猫在沙发上睡觉而狗在绿色的田野里奔跑玩耍") == "zh"
+    assert detect_language("고양이는 소파에서 자고 개는 들판을 달리고 있다") == "ko"
+    assert detect_language("猫はソファーで寝ていて、犬は野原を走っています") == "ja"
+    assert detect_language("القطة نائمة على الأريكة بينما يركض الكلب") == "ar"
+    assert detect_language("il gatto dorme sul divano mentre il cane corre") == "it"
+    assert detect_language("o gato dorme no sofá enquanto o cachorro corre") == "pt"
+    # gibberish below the cosine floor -> und, not a random profile
+    assert detect_language("xq zk wv jj qq pp zz kk xx") == "und"
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog in the field"),
          (2, "el perro corre sobre el campo y el zorro salta sobre los animales")],
