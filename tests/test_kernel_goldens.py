@@ -271,3 +271,36 @@ def test_minhash_batch_bit_exact():
     got = minhash_signatures_batch(texts, 16, 3, perms, chunk_tokens=7)
     ref = np.stack([minhash_signature(t, 16, 3, perms) for t in texts])
     assert (got == ref).all()
+
+
+def test_xxh3_128_batch_matches_scalar():
+    """Vectorized XXH3-128 (all <=16-byte lanes + scalar fallback) is
+    bit-exact vs the spec implementation."""
+    import random
+
+    from text_dedup_spark.kernel.xxh import xxh3_128_batch, xxh3_128_int
+
+    rng = random.Random(5)
+    datas = [bytes(rng.getrandbits(8) for _ in range(n)) for n in list(range(0, 41)) * 10]
+    hi, lo = xxh3_128_batch(datas)
+    for i, d in enumerate(datas):
+        assert (int(hi[i]) << 64) | int(lo[i]) == xxh3_128_int(d), len(d)
+
+
+def test_simhash128_batch_matches_scalar():
+    import random
+
+    from text_dedup_spark.kernel.simhash import (
+        simhash128_signatures_batch,
+        simhash_signature,
+    )
+
+    rng = random.Random(9)
+    texts = ["", "ab", "hello world this is a test", "ünïcödé tëxt wíth áccents"]
+    for _ in range(40):
+        texts.append(
+            " ".join(rng.choice(["alpha", "beta", "gamma", "x"]) for _ in range(rng.randint(0, 25)))
+        )
+    hi, lo = simhash128_signatures_batch(texts, 3)
+    for i, t in enumerate(texts):
+        assert ((int(hi[i]) << 64) | int(lo[i])) == simhash_signature(t, f=128, ngram=3), i

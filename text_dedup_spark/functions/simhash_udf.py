@@ -58,15 +58,14 @@ def make_simhash128_udf(cfg: SimHashConfig):
 
     @pandas_udf("sig_hi long, sig_lo long")
     def simhash128(texts: pd.Series) -> pd.DataFrame:
-        from ..kernel.simhash import simhash_signature
+        import numpy as np
 
-        m = (1 << 64) - 1
-        his, los = [], []
-        for t in texts.tolist():
-            sig = simhash_signature(t if t is not None else "", f=128, ngram=ngram)
-            his.append(_to_signed64(sig >> 64))
-            los.append(_to_signed64(sig & m))
-        return pd.DataFrame({"sig_hi": his, "sig_lo": los})
+        from ..kernel.simhash import simhash128_signatures_batch
+
+        hi, lo = simhash128_signatures_batch(texts.tolist(), ngram)
+        return pd.DataFrame(
+            {"sig_hi": hi.view(np.int64), "sig_lo": lo.view(np.int64)}
+        )
 
     return simhash128
 

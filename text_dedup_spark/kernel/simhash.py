@@ -187,6 +187,11 @@ def simhash_signatures_batch(
     bit-majority runs as one unpack + ``np.add.reduceat`` over document
     offsets instead of a per-document numpy call.
     """
+    if f == 128:
+        hi, lo = simhash128_signatures_batch(texts, ngram)
+        return np.array(
+            [(int(h) << 64) | int(l) for h, l in zip(hi, lo)], dtype=object
+        )
     if f != 64:
         return np.array(
             [simhash_signature(t, f=f, ngram=ngram) for t in texts], dtype=object
@@ -241,3 +246,67 @@ def simhash_signatures_batch(
     sigs = (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     sigs[~nonzero] = 0  # compute([]) == 0
     return sigs
+
+
+def simhash128_signatures_batch(
+    texts: Sequence[str], ngram: int = 3
+) -> Tuple["np.ndarray", "np.ndarray"]:
+    """(hi, lo) uint64 halves of the f=128 signature per text — bit-exact
+    batch of ``simhash_signature(f=128)``. Unique grams across the batch
+    are hashed ONCE with the vectorized XXH3-128 (kernel/xxh.py), and the
+    128-way bit majority runs as one unpack + ``np.add.reduceat`` over
+    document offsets (same structure as the 64-bit batch)."""
+    from .xxh import xxh3_128_batch
+
+    gram_index: dict = {}
+    doc_gram_ids: List[np.ndarray] = []
+    for t in texts:
+        toks = char_ngrams(t if t is not None else "", ngram)
+        ids = np.empty(len(toks), dtype=np.int64)
+        for j, tok in enumerate(toks):
+            gid = gram_index.get(tok)
+            if gid is None:
+                gid = len(gram_index)
+                gram_index[tok] = gid
+            ids[j] = gid
+        doc_gram_ids.append(ids)
+
+    h_hi, h_lo = xxh3_128_batch([g.encode("utf-8") for g in gram_index])
+
+    lens = np.array([len(ids) for ids in doc_gram_ids], dtype=np.int64)
+    order = np.concatenate(doc_gram_ids) if lens.sum() else np.empty(0, np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    nonzero = lens > 0
+    ones = np.zeros((len(texts), 128), dtype=np.int64)
+    chunk_tokens = 10_000
+    d0 = 0
+    while d0 < len(texts):
+        d1, tot = d0, 0
+        while d1 < len(texts) and (tot == 0 or tot + lens[d1] <= chunk_tokens):
+            tot += lens[d1]
+            d1 += 1
+        if tot > 0:
+            g0 = offsets[d0]
+            gids = order[g0 : g0 + tot]
+            # big-endian bytes of (hi, lo) -> unpackbits = MSB-first 128 bits
+            by = np.concatenate(
+                [
+                    h_hi[gids].byteswap().view(np.uint8).reshape(-1, 8),
+                    h_lo[gids].byteswap().view(np.uint8).reshape(-1, 8),
+                ],
+                axis=1,
+            )
+            bits = np.unpackbits(by, axis=1).astype(np.int32)
+            sel = nonzero[d0:d1]
+            if sel.any():
+                ones[d0:d1][sel] = np.add.reduceat(
+                    bits, (offsets[d0:d1] - g0)[sel], axis=0
+                )
+        d0 = d1
+    maj = (2 * ones > lens[:, None]).astype(np.uint64)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    hi = (maj[:, :64] << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    lo = (maj[:, 64:] << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    hi[~nonzero] = 0
+    lo[~nonzero] = 0  # compute([]) == 0
+    return hi, lo

@@ -364,3 +364,144 @@ def _xxh3_128_long(data: bytes, n: int) -> int:
 def xxh3_128_digest(data: bytes, seed: int = 0) -> bytes:
     """Big-endian 16-byte digest, matching ``xxhash.xxh128(data).digest()``."""
     return xxh3_128_int(data, seed).to_bytes(16, "big")
+
+
+def xxh3_128_batch(datas, out_hi=None, out_lo=None):
+    """Vectorized XXH3-128 over many byte strings — bit-exact vs
+    ``xxh3_128_int`` (parity-tested across lengths 0..40).
+
+    Inputs of <= 16 bytes (every char n-gram token) take the numpy path:
+    the 0 / 1-3 / 4-8 / 9-16 length classes are computed as masked
+    vectorized lanes; longer inputs fall back to the scalar spec
+    implementation. Returns (hi, lo) uint64 arrays."""
+    import numpy as np
+
+    n = len(datas)
+    hi = out_hi if out_hi is not None else np.empty(n, dtype=np.uint64)
+    lo = out_lo if out_lo is not None else np.empty(n, dtype=np.uint64)
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=n)
+    for i in np.nonzero(lens > 16)[0]:
+        v = xxh3_128_int(datas[i])
+        hi[i] = (v >> 64) & _M64
+        lo[i] = v & _M64
+    idx = np.nonzero(lens <= 16)[0]
+    m = len(idx)
+    if m == 0:
+        return hi, lo
+
+    L = lens[idx]
+    buf = np.zeros((m, 16), dtype=np.uint8)
+    for r in range(m):
+        d = datas[idx[r]]
+        if d:
+            buf[r, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+
+    U = np.uint64
+    M32 = U(0xFFFFFFFF)
+    rhi = np.zeros(m, dtype=np.uint64)
+    rlo = np.zeros(m, dtype=np.uint64)
+    rows = np.arange(m)
+
+    def av64(h):
+        h = h.copy()
+        h ^= h >> U(33)
+        h *= U(_P2)
+        h ^= h >> U(29)
+        h *= U(_P3)
+        h ^= h >> U(32)
+        return h
+
+    def av3(h):
+        h = h.copy()
+        h ^= h >> U(37)
+        h *= U(_PMX1)
+        h ^= h >> U(32)
+        return h
+
+    def mult64to128(a, b):
+        alo, ahi = a & M32, a >> U(32)
+        blo, bhi = b & M32, b >> U(32)
+        ll = alo * blo
+        lh = alo * bhi
+        hl = ahi * blo
+        hh = ahi * bhi
+        mid = (ll >> U(32)) + (lh & M32) + (hl & M32)
+        low = (ll & M32) | (mid << U(32))
+        high = hh + (lh >> U(32)) + (hl >> U(32)) + (mid >> U(32))
+        return low, high
+
+    def gather64(offsets):
+        g = buf[rows[:, None], offsets[:, None] + np.arange(8)]
+        return np.ascontiguousarray(g).view("<u8").ravel().astype(np.uint64)
+
+    def gather32(offsets):
+        g = buf[rows[:, None], offsets[:, None] + np.arange(4)]
+        return np.ascontiguousarray(g).view("<u4").ravel().astype(np.uint64)
+
+    # --- len == 0 ---
+    z = L == 0
+    if z.any():
+        rlo[z] = av64(np.full(int(z.sum()), U(
+            _r64(_KSECRET, 64) ^ _r64(_KSECRET, 72)), dtype=np.uint64))
+        rhi[z] = av64(np.full(int(z.sum()), U(
+            _r64(_KSECRET, 80) ^ _r64(_KSECRET, 88)), dtype=np.uint64))
+
+    # --- 1 <= len <= 3 ---
+    s = (L >= 1) & (L <= 3)
+    if s.any():
+        ln = L.astype(np.uint64)
+        c1 = buf[rows, 0].astype(np.uint64)
+        c2 = buf[rows, (L >> 1)].astype(np.uint64)
+        c3 = buf[rows, np.maximum(L - 1, 0)].astype(np.uint64)
+        cl = ((c1 << U(16)) | (c2 << U(24)) | c3 | (ln << U(8))) & M32
+        # swap32 then rotl32(x, 13)
+        sw = (
+            ((cl & U(0xFF)) << U(24)) | ((cl & U(0xFF00)) << U(8))
+            | ((cl >> U(8)) & U(0xFF00)) | (cl >> U(24))
+        )
+        ch = ((sw << U(13)) | (sw >> U(19))) & M32
+        bl = U((_r32(_KSECRET, 0) ^ _r32(_KSECRET, 4)) & _M64)
+        bh = U((_r32(_KSECRET, 8) ^ _r32(_KSECRET, 12)) & _M64)
+        rlo[s] = av64(cl ^ bl)[s]
+        rhi[s] = av64(ch ^ bh)[s]
+
+    # --- 4 <= len <= 8 ---
+    s = (L >= 4) & (L <= 8)
+    if s.any():
+        ilo = gather32(np.zeros(m, dtype=np.int64))
+        ihi = gather32(np.maximum(L - 4, 0))
+        i64 = ilo + (ihi << U(32))
+        bitflip = U((_r64(_KSECRET, 16) ^ _r64(_KSECRET, 24)) & _M64)
+        keyed = i64 ^ bitflip
+        plen = (U(_P1) + (L.astype(np.uint64) << U(2)))
+        mlo, mhi = mult64to128(keyed, plen)
+        mhi = mhi + (mlo << U(1))
+        mlo = mlo ^ (mhi >> U(3))
+        mlo ^= mlo >> U(35)
+        mlo *= U(_PMX2)
+        mlo ^= mlo >> U(28)
+        rlo[s] = mlo[s]
+        rhi[s] = av3(mhi)[s]
+
+    # --- 9 <= len <= 16 ---
+    s = (L >= 9) & (L <= 16)
+    if s.any():
+        bl = U((_r64(_KSECRET, 32) ^ _r64(_KSECRET, 40)) & _M64)
+        bh = U((_r64(_KSECRET, 48) ^ _r64(_KSECRET, 56)) & _M64)
+        ilo = gather64(np.zeros(m, dtype=np.int64))
+        ihi = gather64(np.maximum(L - 8, 0))
+        mlo, mhi = mult64to128(ilo ^ ihi ^ bl, np.full(m, U(_P1)))
+        mlo = mlo + ((L.astype(np.uint64) - U(1)) << U(54))
+        ihi2 = ihi ^ bh
+        mhi = mhi + ihi2 + (ihi2 & M32) * U(_P32_2 - 1)
+        # swap64(mhi)
+        sw = mhi.byteswap()
+        mlo = mlo ^ sw
+        flo, fhi = mult64to128(mlo, np.full(m, U(_P2)))
+        fhi = fhi + mhi * U(_P2)
+        rlo[s] = av3(flo)[s]
+        rhi[s] = av3(fhi)[s]
+
+    hi[idx] = rhi
+    lo[idx] = rlo
+    return hi, lo
