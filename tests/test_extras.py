@@ -315,3 +315,9 @@ def test_ivf_and_lsh_recall_vs_brute_force(spark):
     r_lsh = recall(lsh_topk(emb, queries, 10, nbits=10, n_tables=8))
     assert r_ivf >= 0.9, r_ivf
     assert r_lsh >= 0.9, r_lsh
+    # Lloyd-refined centroids hold recall with HALF the probes (the
+    # per-query scan fraction — the lever that matters at corpus scale)
+    r_trained = recall(
+        ivf_topk(emb, queries, 10, n_centroids=32, n_probe=4, kmeans_iterations=2)
+    )
+    assert r_trained >= 0.95, r_trained

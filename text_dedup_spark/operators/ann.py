@@ -183,13 +183,16 @@ def ivf_topk(
     n_centroids: int = 64,
     n_probe: int = 8,
     seed: int = 42,
+    kmeans_iterations: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the scale path for ANN.
 
     - Centroids: a deterministic hash-ordered sample of ``n_centroids``
-      corpus vectors (no iterative k-means — one cheap pass; at cluster
-      scale the sample is tiny and driver-collected once, then
-      closure-broadcast).
+      corpus vectors, refined by ``kmeans_iterations`` distributed Lloyd
+      steps: assign cells with the batched matmul UDF, then per-cell
+      spherical means via posexplode + groupBy(cell, pos).avg — a partial-
+      aggregating shuffle of n_centroids x dim rows, never a vector
+      collect; only the (tiny) centroid matrix reaches the driver.
     - Cell assignment: one numpy matmul per Arrow batch (argmax cosine).
     - Query side probes its ``n_probe`` nearest cells; candidates come from
       a hash-partitioned equi-join on the cell id — the corpus is scanned
@@ -205,11 +208,36 @@ def ivf_topk(
     cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
 
-    @pandas_udf(IntegerType())
-    def assign_cell(vecs: pd.Series) -> pd.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-        return pd.Series((mat @ cents.T).argmax(axis=1).astype(np.int32))
+    def make_assign(c: np.ndarray):
+        @pandas_udf(IntegerType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            return pd.Series((mat @ c.T).argmax(axis=1).astype(np.int32))
+
+        return assign
+
+    for _ in range(kmeans_iterations):
+        assign_it = make_assign(cents)
+        means = (
+            corpus.select(
+                assign_it(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cents = cents.copy()  # empty cells keep their previous centroid
+        touched = {r["cell"] for r in means}
+        for c in touched:
+            new_cents[c] = 0.0
+        for r in means:
+            new_cents[r["cell"], r["pos"]] = r["m"]
+        norms = np.linalg.norm(new_cents, axis=1, keepdims=True)
+        cents = new_cents / np.maximum(norms, 1e-300)
+
+    assign_cell = make_assign(cents)
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
