@@ -13,7 +13,8 @@ sandbox stand-in for N vs 4N executors; see the note below on why not
 scaling efficiency ( = tp_4N / (4 * tp_N) ), and write BENCH/BASELINE.md.
 
 ``--skew`` mode: hot-bucket evidence — wall + max single-task time for the
-plain shuffle join vs the broadcast hot path on a 20%-short-doc corpus.
+plain shuffle join vs the broadcast hot path on a 30%-short-doc corpus
+whose short docs all share ONE bucket key.
 """
 
 from __future__ import annotations
