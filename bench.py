@@ -421,7 +421,10 @@ def _max_task_seconds(spark, since_stage: int) -> float:
             )
             worst = max(worst, summ["duration"][0] / 1000.0)
         except Exception:
-            worst = max(worst, st.get("taskTime", 0) / 1000.0)
+            # stage taskTime is the SUM of task durations, not a per-task
+            # max — substituting it would inflate the reported bound, so a
+            # failed taskSummary read poisons the whole measurement instead
+            return float("nan")
     return round(worst, 3)
 
 

@@ -321,3 +321,110 @@ def test_ivf_and_lsh_recall_vs_brute_force(spark):
         ivf_topk(emb, queries, 10, n_centroids=32, n_probe=4, kmeans_iterations=2)
     )
     assert r_trained >= 0.95, r_trained
+
+
+def test_near_pairs_identical_hot_group_bounded(spark):
+    """VERDICT r2 #1: a corpus with a 10k-identical-embedding group (the
+    dedup-corpus shape) must NOT produce a quadratic bucket self-join. The
+    collapse reduces the bucket join to one row per distinct vector, and
+    the intra-group expansion is threshold-gated BEFORE materializing
+    member pairs."""
+    from text_dedup_spark.operators.ann import _collapse_identical_vectors
+
+    n_hot = 10_000
+    base = [1.0, 2.0, 3.0, 4.0]
+    rng = random.Random(3)
+    rows = [(i, base) for i in range(n_hot)]
+    rows += [
+        (n_hot + i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    reps, members = _collapse_identical_vectors(df, "vec_id", "embedding")
+    # candidate volume bound: the bucket self-join sees 51 distinct
+    # vectors, not 10050 rows (old plan: ~10^8 candidate rows on one key)
+    assert reps.count() == 51
+    assert members.count() == 10_050
+    # threshold above any cosine: completes fast, zero rows, and the g^2
+    # intra expansion never materializes (gated on the rep self-score)
+    out = embedding_near_pairs(df, 1.01, approximate=True, nbits=8, n_tables=4)
+    assert out.count() == 0
+    # capped members for top-k expansion: k+1 smallest ids per group
+    reps_c, members_c = _collapse_identical_vectors(
+        df, "vec_id", "embedding", member_cap=6
+    )
+    assert members_c.where(F.col("rep") == 0).count() == 6
+
+
+def test_near_pairs_collapse_matches_exact(spark):
+    """Approximate near-pairs with identical-vector groups must still emit
+    every qualifying member pair (cross-group AND intra-group) with the
+    same scores as the exact blocked path."""
+    rng = random.Random(11)
+    base_a = [rng.gauss(0, 1) for _ in range(8)]
+    base_b = [x + rng.gauss(0, 0.005) for x in base_a]  # near-dup of A
+    base_c = [rng.gauss(0, 1) for _ in range(8)]  # unrelated
+    rows = []
+    # group A: ids 0,5,9 identical; group B: ids 2,7 identical; C: 3
+    for i in (0, 5, 9):
+        rows.append((i, base_a))
+    for i in (2, 7):
+        rows.append((i, base_b))
+    rows.append((3, base_c))
+    for i in range(20, 40):  # noise
+        rows.append((i, [rng.gauss(0, 1) for _ in range(8)]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_pairs(df, 0.99, approximate=False).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in embedding_near_pairs(
+            df, 0.99, approximate=True, nbits=6, n_tables=12
+        ).collect()
+    }
+    # intra pairs of both groups + all cross pairs A x B must be present
+    for pair in [(0, 5), (0, 9), (5, 9), (2, 7), (0, 2), (0, 7), (2, 5), (5, 7), (2, 9), (7, 9)]:
+        assert pair in approx, pair
+    assert set(approx) <= set(exact)
+    for p, s in approx.items():
+        assert abs(s - exact[p]) < 1e-9, (p, s, exact[p])
+    # no duplicated emissions
+    out_rows = embedding_near_pairs(df, 0.99, approximate=True, nbits=6, n_tables=12).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out_rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_lsh_topk_with_tied_corpus_groups(spark):
+    """Top-k over a corpus with identical-vector groups: member expansion +
+    (score desc, id asc) ranking must match brute force exactly, including
+    the self-exclusion of a query that sits inside a tied group."""
+    rng = random.Random(5)
+    tied = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(i, tied) for i in range(6)]  # ids 0..5 identical
+    rows += [(10 + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    queries = df.where(F.col("vec_id").isin(0, 12))
+    exact = brute_force_topk(df, queries, 4)
+    # coarse buckets + many tables: every pair collides somewhere at this
+    # seed, so the approximate result must equal brute force exactly
+    got = lsh_topk(df, queries, 4, nbits=3, n_tables=32)
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"]) for r in exact.collect()}
+    have = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"]) for r in got.collect()}
+    # query 0 is inside the tied group: its top-4 is co-members 1,2,3,4 at
+    # score 1.0 — the member-level self-exclusion must keep those
+    assert have[(0, 1)][0] == 1 and abs(have[(0, 1)][1] - 1.0) < 1e-9
+    for key, (nid, score) in want.items():
+        assert key in have, key
+        assert have[key][0] == nid, (key, have[key], nid)
+        assert abs(have[key][1] - score) < 1e-9
+    df.unpersist()

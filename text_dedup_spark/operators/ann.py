@@ -105,6 +105,47 @@ def make_sign_lsh_udf(nbits: int, n_tables: int, seed: int = 42, dim: int | None
     return sign_buckets
 
 
+def _collapse_identical_vectors(
+    df: DataFrame, id_col: str, vec_col: str, member_cap: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(reps, members): one representative row (id=group-min, vector) per
+    DISTINCT embedding value, plus the (rep, id) membership map.
+
+    This is the hot-bucket defense for the embedding operators (the analog
+    of simhash_dedup's identical-signature collapse): a dedup corpus has
+    MANY bit-identical embeddings, and every copy lands in the same LSH
+    bucket in every table — a quadratic self-join on one key. Grouping by
+    the raw vector value (never a hash of it — a hash collision here would
+    silently assign wrong scores) costs one linear corpus shuffle and makes
+    every downstream bucket join see each distinct vector once.
+
+    ``member_cap``: keep only the cap smallest member ids per group (for
+    top-k expansion only the k smallest ids of a tied group can ever make
+    the cut, so expansion stays O(k) per candidate group).
+    """
+    w = Window.partitionBy(vec_col)
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.min(id_col).over(w).alias("rep"),
+    )
+    if member_cap is not None:
+        members = (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn(
+                "__rnk__",
+                F.row_number().over(Window.partitionBy("v").orderBy("id")),
+            )
+            .where(F.col("__rnk__") <= member_cap)
+            .withColumn("rep", F.min("id").over(Window.partitionBy("v")))
+            .select("rep", "id")
+        )
+    else:
+        members = t.select("rep", "id")
+    reps = t.where(F.col("id") == F.col("rep")).select(F.col("rep").alias("id"), "v")
+    return reps, members
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,41 +158,60 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: bucket-collision candidates, exact re-rank.
 
-    The candidate join and the pair-dedup shuffle carry ONLY 8-byte ids —
-    at scale the shuffle volume would otherwise be dominated by n_tables
-    replicated copies of every embedding. Vectors are re-joined exactly once
-    per side after the dedup, then scored with one numpy matmul per batch."""
+    Scale shape: (a) identical corpus vectors are collapsed to one
+    representative before the bucket join (a tied group of g copies costs 1
+    bucket row per table instead of g — the quadratic-hot-bucket defense;
+    members re-expand after scoring, capped at k+1 per group since only the
+    k+1 smallest ids of a tied group can make top-k under the
+    (score desc, id asc) order even after self-exclusion); (b) the candidate
+    join and pair-dedup shuffles carry ONLY 8-byte ids — vectors re-join
+    exactly once per side and score with one numpy matmul per batch."""
     udf = make_sign_lsh_udf(nbits, n_tables, seed)
+    reps, members = _collapse_identical_vectors(
+        corpus, id_col, vec_col, member_cap=k + 1
+    )
 
-    def bucketize(df: DataFrame, role: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.posexplode_outer(udf(F.col(vec_col))).alias("table", f"{role}_bucket"),
-        )
-
-    cb = bucketize(corpus, "neighbor")
-    qb = bucketize(queries, "query").withColumnRenamed("query_bucket", "neighbor_bucket")
+    cb = reps.select(
+        F.col("id").alias("rep"),
+        F.posexplode_outer(udf(F.col("v"))).alias("table", "neighbor_bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode_outer(udf(F.col(vec_col))).alias("table", "neighbor_bucket"),
+    )
     cand = (
         cb.join(qb, ["table", "neighbor_bucket"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "rep")
+        .dropDuplicates(["query_id", "rep"])
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    cv = reps.select(F.col("id").alias("rep"), F.col("v").alias("__cv__"))
     score = make_cosine_pairs_udf()
+    # no broadcast hint on the query-vector re-join: queries are usually the
+    # small side, but an unconditional hint would bypass
+    # autoBroadcastJoinThreshold for arbitrarily large query sets — let
+    # AQE pick broadcast vs shuffle from the measured size (as
+    # embedding_near_pairs does)
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
+        cand.join(qv, "query_id")
+        .join(cv, "rep")
         .select(
             "query_id",
-            "neighbor_id",
+            "rep",
             score(F.col("__qv__"), F.col("__cv__")).alias("score"),
         )
     )
+    # re-expand representatives to members (identical vector => identical
+    # score); self-matches excluded at MEMBER level so a query inside a
+    # tied corpus group still sees its co-members
+    expanded = (
+        scored.join(members, "rep")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), "score")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        expanded.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
@@ -287,32 +347,79 @@ def embedding_near_pairs(
 ) -> DataFrame:
     """(id_a, id_b, score) with id_a < id_b and cosine >= threshold.
 
-    Approximate path: bucket-collision candidates on 8-byte id pairs only
-    (no vectors in the bucket join or the pair-dedup shuffle), vectors
-    re-joined once per side, numpy-batched scoring."""
+    Approximate path, hot-bucket-safe: identical vectors collapse to one
+    representative BEFORE the bucket self-join (the quadratic-at-scale
+    defense — a dedup corpus puts every copy of a duplicated embedding in
+    the same bucket of every table), so the self-join sees each distinct
+    vector once. Candidates are 8-byte rep-id pairs only; vectors re-join
+    once per side for one numpy-batched scoring pass, then surviving rep
+    pairs re-expand to member pairs (identical vectors => identical
+    scores). Intra-group pairs are emitted from the membership map with the
+    group's self-score, gated by the threshold BEFORE expansion — a group
+    that cannot pass never materializes its member pairs.
+
+    Note the OUTPUT is still all qualifying pairs (a tied group of g copies
+    owns g(g-1)/2 true pairs — that is the operator's contract, matched by
+    the SQL oracle); the collapse bounds the candidate/shuffle volume, which
+    is what explodes at 100x scale, not the answer itself."""
     if not approximate:
         return _exact_near_pairs_blocked(df, threshold, id_col, vec_col)
     udf = make_sign_lsh_udf(nbits, n_tables, seed)
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer(udf(F.col(vec_col))).alias("table", "bucket"),
+    reps, members = _collapse_identical_vectors(df, id_col, vec_col)
+
+    b = reps.select(
+        F.col("id").alias("rep"),
+        F.posexplode_outer(udf(F.col("v"))).alias("table", "bucket"),
     )
-    left = b.select("table", "bucket", F.col("id").alias("id_a"))
-    right = b.select("table", "bucket", F.col("id").alias("id_b"))
+    left = b.select("table", "bucket", F.col("rep").alias("rep_a"))
+    right = b.select("table", "bucket", F.col("rep").alias("rep_b"))
     cand = (
         left.join(right, ["table", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    va = reps.select(F.col("id").alias("rep_a"), F.col("v").alias("__va__"))
+    vb = reps.select(F.col("id").alias("rep_b"), F.col("v").alias("__vb__"))
     score = make_cosine_pairs_udf()
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", score(F.col("__va__"), F.col("__vb__")).alias("score"))
+    rep_pairs = (
+        cand.join(va, "rep_a")
+        .join(vb, "rep_b")
+        .select("rep_a", "rep_b", score(F.col("__va__"), F.col("__vb__")).alias("score"))
         .where(F.col("score") >= threshold)
     )
+    # cross-group expansion: every (member of a) x (member of b) pair
+    # carries the rep pair's score; groups are disjoint so no dedup needed
+    ma = members.select(F.col("rep").alias("rep_a"), F.col("id").alias("__ida__"))
+    mb = members.select(F.col("rep").alias("rep_b"), F.col("id").alias("__idb__"))
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("__ida__", "__idb__").alias("id_a"),
+            F.greatest("__ida__", "__idb__").alias("id_b"),
+            "score",
+        )
+    )
+    # intra-group pairs: self-score (cosine of the group's vector with
+    # itself — 1.0 except degenerate zero vectors) computed once per
+    # multi-member group, threshold-gated before the pair expansion
+    gsize = members.groupBy("rep").agg(F.count(F.lit(1)).alias("__gn__"))
+    multi = reps.join(
+        gsize.where(F.col("__gn__") > 1).select("rep"),
+        reps["id"] == F.col("rep"),
+    ).select(F.col("rep"), F.col("v"))
+    self_ok = multi.select(
+        "rep", score(F.col("v"), F.col("v")).alias("score")
+    ).where(F.col("score") >= threshold)
+    ia = members.select("rep", F.col("id").alias("id_a"))
+    ib = members.select("rep", F.col("id").alias("id_b"))
+    intra = (
+        self_ok.join(ia, "rep")
+        .join(ib, "rep")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "score")
+    )
+    return cross.unionByName(intra)
 
 
 def _exact_near_pairs_blocked(

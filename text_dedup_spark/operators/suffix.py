@@ -150,6 +150,10 @@ def _global_distributed(
         # feed every core.
         est = None
         try:
+            # private JVM accessor, stable across Spark 3.0-4.1 (the
+            # queryExecution/optimizedPlan/stats chain is part of the
+            # semi-public QueryExecution API); guarded — any failure falls
+            # back to the partition-count heuristic below
             est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         except Exception:
             pass
@@ -179,11 +183,16 @@ def _global_distributed(
         ]
     )
 
+    # All three partition scans (seam, hash, finalize) must assemble BYTE-
+    # IDENTICAL blobs or notification positions mis-map. Sorting by
+    # (id, text) makes the blob deterministic even under duplicate ids and
+    # job-to-job arrival-order differences: rows with equal keys have equal
+    # bytes, so their relative order cannot change the blob.
     def seam_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts_ = list(batches)
         if not parts_:
             return
-        pdf = pd.concat(parts_, ignore_index=True).sort_values(id_col)
+        pdf = pd.concat(parts_, ignore_index=True).sort_values([id_col, text_col], kind="stable")
         pid = int(pdf[_PART].iloc[0])
         blob = b"".join(t.encode("utf-8") for t in pdf[text_col].fillna(""))
         if len(blob) == 0:
@@ -207,7 +216,7 @@ def _global_distributed(
         parts_ = list(batches)
         if not parts_:
             return
-        pdf = pd.concat(parts_, ignore_index=True).sort_values(id_col)
+        pdf = pd.concat(parts_, ignore_index=True).sort_values([id_col, text_col], kind="stable")
         pid = int(pdf[_PART].iloc[0])
         blob = b"".join(t.encode("utf-8") for t in pdf[text_col].fillna(""))
         if len(blob) < k:
@@ -327,7 +336,7 @@ def _global_distributed(
                 parts_ = list(batches)
                 if not parts_:
                     return
-                pdf = pd.concat(parts_, ignore_index=True).sort_values(id_col)
+                pdf = pd.concat(parts_, ignore_index=True).sort_values([id_col, text_col], kind="stable")
                 pid = int(pdf[_PART].iloc[0])
                 docs = list(zip(pdf[id_col].tolist(), pdf[text_col].fillna("").tolist()))
                 rows = dedup_documents(
@@ -354,7 +363,7 @@ def _global_distributed(
             def cofinalize(docs_pdf: pd.DataFrame, notif_pdf: pd.DataFrame) -> pd.DataFrame:
                 if len(docs_pdf) == 0:
                     return pd.DataFrame(columns=[id_col, text_col, "dup_bytes"])
-                docs_pdf = docs_pdf.sort_values(id_col)
+                docs_pdf = docs_pdf.sort_values([id_col, text_col], kind="stable")
                 docs = list(
                     zip(docs_pdf[id_col].tolist(), docs_pdf[text_col].fillna("").tolist())
                 )
