@@ -349,6 +349,31 @@ def q_bloom_dedup_vs_history(spark, sf_dir):
     return exact_dedup_against_history(new, hashes, "text", sketch).select("doc_id")
 
 
+def q_bloom_sharded_dedup(spark, sf_dir):
+    """Hash-range-SHARDED Bloom pre-filter (the 100-TB path: per-shard
+    sketches built executor-side, probed via cogroup — no driver merge, no
+    full-sketch broadcast). Oracle = plain anti-join: sharding must not
+    change semantics."""
+    from text_dedup_spark.operators.bloom import (
+        build_bloom_sharded,
+        exact_dedup_against_history_sharded,
+        history_hashes,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    hist = d.where(F.col("doc_id") % 4 != 0)
+    new = d.where(F.col("doc_id") % 4 == 0).unionByName(
+        hist.where(F.col("doc_id") % 7 == 2).select(
+            (F.col("doc_id") + ID_SHIFT).alias("doc_id"), "text"
+        )
+    )
+    hashes = history_hashes(hist, "text")
+    sb = build_bloom_sharded(
+        hashes, "__h__", expected=max(hist.count(), 1), fpp=0.01, n_shards=8
+    )
+    return exact_dedup_against_history_sharded(new, hashes, "text", sb).select("doc_id")
+
+
 def q_simhash128_assignments(spark, sf_dir):
     """f=128 SimHash (two-long signatures, XXH3-128 tokens, Catalyst
     128-bit bucket keys) over the near-dup corpus. bit_diff scales with f
@@ -480,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "dup_ratio_by_lang": q_dup_ratio_by_lang,
         "bloom_dedup_vs_history": q_bloom_dedup_vs_history,
+        "bloom_sharded_dedup": q_bloom_sharded_dedup,
         "simhash128_assignments": q_simhash128_assignments,
         "image_phash_dedup": q_image_phash_dedup,
         "image_meta": q_image_meta,
@@ -696,6 +722,19 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM hist
               WHERE doc_id % 5 = 1
+            )
+            SELECT doc_id FROM new_rows
+            WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM hist)
+        """,
+        "bloom_sharded_dedup": f"""
+            WITH hist AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+            ),
+            new_rows AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id + {ID_SHIFT} AS doc_id, text FROM hist
+              WHERE doc_id % 7 = 2
             )
             SELECT doc_id FROM new_rows
             WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM hist)

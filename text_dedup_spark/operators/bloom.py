@@ -130,6 +130,129 @@ def exact_dedup_against_history(
     return definite_new.unionByName(checked)
 
 
+# --- sharded sketch (the 100-TB path) ---------------------------------------
+#
+# VERDICT r2 #3: the single BloomSketch above is built and broadcast whole
+# (~1.2 GB per 10^9 history rows at 1%), which stops working when the
+# history outgrows one executor's memory. The sharded variant partitions
+# the HISTORY by pmod(xxhash64(value), n_shards) and keeps one independent
+# sketch per shard as a (shard, bits) DataFrame row:
+#
+# - build: positions are Catalyst-computed, rows shuffle ONCE by shard, and
+#   each task streams its shard's batches into one m/8-byte bit array —
+#   nothing is merged on the driver, nothing is broadcast.
+# - probe: new rows cogroup with the sketch table on the shard id, so a
+#   task holds exactly ONE shard's bits while testing that shard's rows.
+# - memory bound per task: m_shard/8 bytes ≈ (1.2 GB / n_shards) per 10^9
+#   history rows at fpp=1%, plus one Arrow batch of probe rows — both
+#   chosen by n_shards, independent of total history size.
+
+
+@dataclass(frozen=True)
+class ShardedBloom:
+    sketches: DataFrame  # (__shard__ int, bits binary) — one row per shard
+    n_shards: int
+    m: int  # bits per shard
+    k: int  # hash functions (xxhash64 seeds 0..k-1)
+
+
+def _shard_expr(col: Column, n_shards: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_shards)).cast("int")
+
+
+def build_bloom_sharded(
+    df: DataFrame, col: str, expected: int, fpp: float = 0.01, n_shards: int = 8
+) -> ShardedBloom:
+    """Distributed sharded Bloom build over ``df[col]``. Each shard's m is
+    sized for expected/n_shards values at ``fpp``; the value's shard is
+    pmod(xxhash64(value), n_shards), so build and probe agree by
+    construction. The sketch never exists in one piece anywhere."""
+    per_shard = max(1, -(-expected // n_shards))
+    m = max(64, int(-per_shard * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / per_shard * math.log(2)))
+
+    pos = df.select(
+        _shard_expr(F.col(col), n_shards).alias("__shard__"),
+        _positions_expr(F.col(col), m, k).alias("__pos__"),
+    ).repartition(n_shards, "__shard__")
+
+    def to_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arrs: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for shard, grp in pdf.groupby("__shard__"):
+                arr = arrs.setdefault(int(shard), np.zeros(m // 8, dtype=np.uint8))
+                p = np.concatenate(grp["__pos__"].to_numpy())
+                np.bitwise_or.at(arr, p // 8, (1 << (p % 8)).astype(np.uint8))
+        for shard, arr in sorted(arrs.items()):
+            yield pd.DataFrame({"__shard__": [shard], "bits": [arr.tobytes()]})
+
+    sketches = pos.mapInPandas(to_bits, "__shard__ int, bits binary")
+    return ShardedBloom(sketches=sketches, n_shards=n_shards, m=m, k=k)
+
+
+def flag_might_contain_sharded(
+    df: DataFrame, col: str, sb: ShardedBloom, flag_col: str = "__maybe__"
+) -> DataFrame:
+    """``df`` plus a boolean ``flag_col``: True iff df[col] MIGHT be in the
+    sharded sketch (false negatives impossible). Each cogroup task sees one
+    shard's probe rows + that shard's bits row only; a shard with no
+    history has no sketch row and flags everything definitely-new."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    pos_df = df.withColumn("__shard__", _shard_expr(F.col(col), sb.n_shards)).withColumn(
+        "__pos__", _positions_expr(F.col(col), sb.m, sb.k)
+    )
+    keep = [f.name for f in df.schema.fields]
+    out_schema = StructType(list(df.schema.fields) + [StructField(flag_col, BooleanType())])
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=keep + [flag_col])
+        if len(right) == 0:
+            flags = np.zeros(len(left), dtype=bool)
+        else:
+            bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+            mat = np.stack(left["__pos__"].to_numpy())
+            hit = (bits[mat // 8] >> (mat % 8).astype(np.uint8)) & 1
+            flags = hit.all(axis=1)
+        out = left[keep].copy()
+        out[flag_col] = flags.astype(bool)
+        return out
+
+    return (
+        pos_df.groupBy("__shard__")
+        .cogroup(sb.sketches.groupBy("__shard__"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
+def exact_dedup_against_history_sharded(
+    new: DataFrame,
+    historical_hashes: DataFrame,
+    text_col: str,
+    sb: ShardedBloom,
+    algo: str = "md5",
+) -> DataFrame:
+    """Sharded-sketch variant of ``exact_dedup_against_history``: same
+    routing contract (miss => definitely new, hit => exact anti-join
+    decides), identical output to the plain anti-join."""
+    from .exact import content_hash
+
+    hashed = new.withColumn("__h__", content_hash(F.col(text_col), algo))
+    flagged = flag_might_contain_sharded(hashed, "__h__", sb)
+    definite_new = flagged.where(~F.col("__maybe__")).drop("__maybe__", "__h__")
+    checked = (
+        flagged.where(F.col("__maybe__"))
+        .drop("__maybe__")
+        .join(historical_hashes.select("__h__"), "__h__", "left_anti")
+        .drop("__h__")
+    )
+    return definite_new.unionByName(checked)
+
+
 def history_hashes(df: DataFrame, text_col: str, algo: str = "md5") -> DataFrame:
     """The one-column hash table the anti-join probes (write it as a
     checkpoint table next to the corpus; tiny relative to payloads)."""
