@@ -311,17 +311,33 @@ def q_jaccard_exact_pairs(spark, sf_dir):
 def q_image_fidelity(spark, sf_dir):
     """North-star per-row invariant as a query: decode -> block-mean resize
     (identity dims) -> re-encode, then verify decoded-pixel PSNR >= 40 dB +
-    caption equality. Returns VIOLATIONS (must be empty)."""
-    from text_dedup_spark.functions.image_udf import make_resize_udf
-    from text_dedup_spark.plans.image_pipeline import verify_fidelity
+    caption equality. WITNESS-style (VERDICT r2 #8): returns one row PER
+    IMAGE with its measured psnr_ok/caption_equal flags, so a green cell
+    proves the check executed on every row (an accidentally-empty pipeline
+    cannot be green); the all-rows-pass assertion lives in
+    tests/test_images.py."""
+    from text_dedup_spark.functions.image_udf import make_resize_udf, pixel_psnr
     from text_dedup_spark.sources.synth import images_table
 
     imgs = images_table(spark, 200, seed=42)
     resize = make_resize_udf(32, 32)
-    transformed = imgs.withColumn("bytes", resize(F.col("bytes"), F.col("fmt"))).withColumn(
-        "fmt", F.lit("png")
+    transformed = imgs.select(
+        "image_id",
+        resize(F.col("bytes"), F.col("fmt")).alias("bytes_b"),
+        F.lit("png").alias("fmt_b"),
+        F.col("caption").alias("caption_b"),
     )
-    return verify_fidelity(imgs, transformed, 40.0).select("image_id", "psnr")
+    joined = imgs.select(
+        "image_id",
+        F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"),
+        F.col("caption").alias("caption_a"),
+    ).join(transformed, "image_id")
+    return joined.select(
+        "image_id",
+        (pixel_psnr("bytes_a", "fmt_a", "bytes_b", "fmt_b") >= 40.0).alias("psnr_ok"),
+        (F.col("caption_a") == F.col("caption_b")).alias("caption_equal"),
+    )
 
 
 def q_bloom_dedup_vs_history(spark, sf_dir):

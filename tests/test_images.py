@@ -267,3 +267,101 @@ def test_jpeg_rows_through_phash_and_fidelity(spark):
     assert verify_fidelity(png_df, jpg_df).count() == 0
     # brutally quantized JPEG rows are flagged
     assert verify_fidelity(png_df, bad_df).count() == 6
+
+
+def test_progressive_jpeg_flag_policy_end_to_end(spark):
+    """VERDICT r2 #7: a mixed baseline+progressive fixture processes
+    end-to-end under undecodable='flag' — progressive rows get
+    decode_ok=false (excluded from the phash modality only), none crash,
+    and exact-bytes + caption dedup still cover them."""
+    from text_dedup_spark.config import MinHashConfig, SimHashConfig
+    from text_dedup_spark.functions.image_udf import phash_from_bytes_flagged
+    from text_dedup_spark.plans.image_pipeline import image_dedup
+    from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+    from text_dedup_spark.sources.png import try_decode_image
+
+    def progressive(img):
+        data = bytearray(encode_jpeg_baseline(img, 1))
+        sof = data.index(b"\xff\xc0")
+        data[sof + 1] = 0xC2
+        return bytes(data)
+
+    assert try_decode_image(progressive(_smooth_rgb(16, 16)), "jpeg") is None
+    assert try_decode_image(b"garbage", "jpeg") is None
+
+    def rand_img(seed):
+        rng = np.random.RandomState(seed)
+        y, x = np.mgrid[0:32, 0:32].astype(np.float64)
+        img = np.zeros((32, 32, 3))
+        for c in range(3):
+            a, b = rng.uniform(-3, 3, 2)
+            fx, fy = rng.uniform(0.1, 0.8, 2)
+            img[:, :, c] = 128 + a * (x - 16) + b * (y - 16) + 60 * np.sin(
+                fx * x + fy * y + rng.uniform(0, 6.28)
+            )
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def cap(i):
+        rng = np.random.RandomState(1000 + i)
+        return " ".join(f"w{rng.randint(10_000)}" for _ in range(40))
+
+    rows = []
+    for i in range(8):
+        rows.append(
+            (f"ok{i}", bytearray(encode_jpeg_baseline(rand_img(i), 1)), 32, 32,
+             "jpeg", cap(i), 0)
+        )
+    # progressive rows: one is a BYTE-exact clone of another progressive
+    # row, one near-dups a caption — both must still dedup without pixels
+    prog_bytes = progressive(rand_img(999))
+    rows.append(("prog0", bytearray(prog_bytes), 32, 32, "jpeg", cap(999), 0))
+    rows.append(("prog1", bytearray(prog_bytes), 32, 32, "jpeg", cap(999), 0))
+    rows.append(
+        ("prog2", bytearray(progressive(rand_img(998))), 32, 32,
+         "jpeg", cap(0) + " extra", 0)
+    )
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(rows, schema)
+
+    res = image_dedup(
+        df,
+        MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7),
+        SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram=3),
+        phash_source="pixels",
+        undecodable="flag",
+    )
+    kept_ids = {r["image_id"] for r in res.kept.select("image_id").collect()}
+    # exactly the 3 progressive rows are flagged
+    assert res.decode_flags is not None and res.decode_flags.count() == 3
+    flagged_ids = {
+        r["image_id"]
+        for r in res.corpus.join(res.decode_flags, "__id__").select("image_id").collect()
+    }
+    assert flagged_ids == {"prog0", "prog1", "prog2"}
+    # byte-exact progressive clone deduped via exact hash
+    assert not {"prog0", "prog1"} <= kept_ids
+    # caption-near progressive row deduped via MinHash (vs ok0's caption)
+    assert "prog2" not in kept_ids or "ok0" not in kept_ids
+    # all decodable rows survive (unique pixels + captions)
+    assert {f"ok{i}" for i in range(1, 8)} <= kept_ids
+
+    # the flagged struct UDF itself: nulls exactly where decode fails
+    got = {
+        r["image_id"]: (r["pf"]["phash"], r["pf"]["decode_ok"])
+        for r in df.select(
+            "image_id", phash_from_bytes_flagged(F.col("bytes"), F.col("fmt")).alias("pf")
+        ).collect()
+    }
+    for i in range(8):
+        ph, ok = got[f"ok{i}"]
+        assert ok and ph is not None
+    for p in ("prog0", "prog1", "prog2"):
+        ph, ok = got[p]
+        assert not ok and ph is None
+
+    # undecodable='error' (the default) still raises on the same corpus
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        image_dedup(df, phash_source="pixels").kept.count()

@@ -171,3 +171,91 @@ def test_assignments_invariant_to_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b and len(a) > 0
+
+
+def test_cc_pre_contraction_identical_and_fewer_iterations(spark):
+    """VERDICT r2 #6: hash-to-min pre-contraction must produce byte-identical
+    assignments (UnionFind oracle) while cutting serial loop iterations on
+    LSH-shaped edge sets (star edges + chains)."""
+    import random
+
+    from text_dedup_spark.kernel.union_find import UnionFind
+    from text_dedup_spark.operators import cc as ccmod
+
+    rng = random.Random(42)
+    edges = []
+    # star clusters (the LSH shape): members point at a bucket min
+    for c in range(40):
+        base = c * 100
+        for m in range(1, rng.randint(2, 8)):
+            edges.append((base + m * 7, base))
+    # chains (worst case for star convergence)
+    for c in range(5):
+        base = 10_000 + c * 100
+        for i in range(6):
+            edges.append((base + i + 1, base + i))
+    # a few cross-links merging clusters
+    edges += [(100, 7), (203, 307), (10_001, 405)]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+
+    uf = UnionFind()
+    for s, d in edges:
+        uf.union(s, d)
+    expect = {}
+    nodes = {n for e in edges for n in e}
+    for n in nodes:
+        root = uf.find(n)
+        if root != n:
+            expect[n] = root
+
+    runs = {}
+    for rounds in (0, 1, 2):
+        got = {
+            r[0]: r[1]
+            for r in connected_components(df, "id", pre_contract=rounds).collect()
+        }
+        assert got == expect, rounds
+        runs[rounds] = ccmod.LAST_RUN_STATS["iterations"]
+    # measured drop: contraction rounds can only cut serial iterations;
+    # two rounds strictly beat none on this chain-heavy graph
+    assert runs[1] <= runs[0], runs
+    assert runs[2] < runs[0], runs
+
+    # LSH-shaped edges (stars pairwise-bridged through members — the shape
+    # overlapping buckets produce): ONE contraction round drops the loop's
+    # iteration count (measured 3 -> 2)
+    star_edges = []
+    for c in range(30):
+        base = c * 50
+        for m in range(1, 6):
+            star_edges.append((base + m, base))
+        if c % 2 == 1:
+            star_edges.append((base + 1, (c - 1) * 50 + 2))
+    sdf = spark.createDataFrame(star_edges, "src long, dst long").repartition(4)
+    uf2 = UnionFind()
+    for s, d in star_edges:
+        uf2.union(s, d)
+    expect2 = {}
+    for n in {n for e in star_edges for n in e}:
+        r = uf2.find(n)
+        if r != n:
+            expect2[n] = r
+    sruns = {}
+    for rounds in (0, 1):
+        got2 = {
+            r[0]: r[1]
+            for r in connected_components(sdf, "id", pre_contract=rounds).collect()
+        }
+        assert got2 == expect2, rounds
+        sruns[rounds] = ccmod.LAST_RUN_STATS["iterations"]
+    assert sruns[1] < sruns[0], sruns
+
+
+def test_cc_pre_contraction_empty_and_pair_edges(spark):
+    from text_dedup_spark.operators.cc import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty, "id", pre_contract=1).count() == 0
+    pair = spark.createDataFrame([(5, 2)], "src long, dst long")
+    got = connected_components(pair, "id", pre_contract=1).collect()
+    assert [(r[0], r[1]) for r in got] == [(5, 2)]

@@ -14,15 +14,16 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
     StructField,
     StructType,
-    BinaryType,
 )
 
-from ..sources.png import decode_image, encode_png, phash64, psnr
+from ..sources.png import decode_image, encode_png, phash64, psnr, try_decode_image
 
 IMAGE_META = StructType(
     [
@@ -56,6 +57,33 @@ def phash_from_bytes(data: pd.Series, fmt: pd.Series) -> pd.Series:
     return pd.Series(
         [_to_signed64(phash64(decode_image(bytes(b), f))) for b, f in zip(data, fmt)]
     )
+
+
+PHASH_FLAGGED = StructType(
+    [
+        StructField("phash", LongType()),  # null when decode_ok is false
+        StructField("decode_ok", BooleanType()),
+    ]
+)
+
+
+@pandas_udf(PHASH_FLAGGED)
+def phash_from_bytes_flagged(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Skip+flag variant of ``phash_from_bytes`` (VERDICT r2 #7): payloads
+    the container cannot decode (progressive/arithmetic JPEG, corrupt
+    streams) yield (phash=null, decode_ok=false) instead of failing the
+    task — the only sane policy on a web corpus where 10-20% of JPEGs are
+    progressive."""
+    hashes, oks = [], []
+    for b, f in zip(data, fmt):
+        arr = try_decode_image(bytes(b), f)
+        if arr is None:
+            hashes.append(None)
+            oks.append(False)
+        else:
+            hashes.append(_to_signed64(phash64(arr)))
+            oks.append(True)
+    return pd.DataFrame({"phash": pd.array(hashes, dtype="Int64"), "decode_ok": oks})
 
 
 @pandas_udf(DoubleType())

@@ -58,12 +58,86 @@ def fake_frames(frames: np.ndarray) -> bytes:
     return _FAKE_VIDEO_MAGIC + struct.pack("<III", n, h, w) + zlib.compress(f.tobytes(), 1)
 
 
-# --- decode (stubbed behind import-try) -------------------------------------
+# --- decode: real WAV (pure Python), fake containers, import-try stubs ------
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-Python RIFF/WAVE PCM parser (no external dep): bytes ->
+    (int16 mono samples, sample_rate).
+
+    Handles format 1 (integer PCM at 8/16/24/32 bit) and format 3 (float32/
+    float64), any channel count (downmixed to mono by averaging), extra
+    chunks before/after `data`, and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
+    either. Everything re-quantizes to int16 — the fingerprint input the
+    rest of the engine uses."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    fmt = None
+    payload = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag == 0xFFFE and size >= 40:  # EXTENSIBLE: real tag in the GUID
+                (tag,) = struct.unpack("<H", body[24:26])
+            fmt = (tag, n_ch, rate, bits)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, n_ch, rate, bits = fmt
+    if n_ch < 1:
+        raise ValueError("WAV with zero channels")
+    if tag == 1:  # integer PCM
+        if bits == 8:  # unsigned, offset-128
+            x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0) * 256.0
+        elif bits == 16:
+            x = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+        elif bits == 24:
+            raw = np.frombuffer(payload, dtype=np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.uint32)
+            u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            x = (u.astype(np.int32) - ((u >> 23) & 1).astype(np.int32) * (1 << 24)).astype(
+                np.float64
+            ) / 256.0
+        elif bits == 32:
+            x = np.frombuffer(payload, dtype="<i4").astype(np.float64) / 65536.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif tag == 3:  # IEEE float, range [-1, 1]
+        dt = "<f4" if bits == 32 else "<f8" if bits == 64 else None
+        if dt is None:
+            raise ValueError(f"unsupported float bit depth {bits}")
+        x = np.frombuffer(payload, dtype=dt).astype(np.float64) * 32767.0
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag} (PCM/float only)")
+    x = x[: len(x) - len(x) % n_ch]
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return np.clip(np.rint(x), -32768, 32767).astype(np.int16), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000, n_channels: int = 1) -> bytes:
+    """int16 samples -> minimal PCM WAV bytes (fixture/round-trip helper).
+    Multi-channel input is interleaved as given (len % n_channels == 0)."""
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    ba = 2 * n_channels
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate, rate * ba, ba, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(s)) + s + (b"\x00" if len(s) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """bytes -> (int16 samples, sample_rate). Real codecs unavailable here;
-    the deterministic fake container always decodes."""
+    """bytes -> (int16 mono samples, sample_rate). Dispatch: real WAV (pure
+    Python, always available), the deterministic FPCM test container, then
+    the import-gated external backend for compressed formats."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
     if data[:4] == _FAKE_AUDIO_MAGIC:
         rate, n = struct.unpack("<II", data[4:12])
         return np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n], rate
@@ -71,8 +145,8 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         import soundfile  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "real audio decoding needs the 'soundfile' backend; only the "
-            "deterministic FPCM test container decodes in this environment"
+            "compressed-audio decoding needs the 'soundfile' backend; WAV "
+            "and the deterministic FPCM container decode natively"
         ) from None
     raise NotImplementedError("real-codec path not wired")  # pragma: no cover
 

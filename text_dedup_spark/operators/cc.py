@@ -29,6 +29,18 @@ from pyspark.sql import functions as F
 from .ids import ID
 
 
+def _fingerprint1(df: DataFrame) -> tuple:
+    """Multiset fingerprint of one edge frame (same terms as
+    ``_fingerprints2``): count + two independent modded hash sums."""
+    h = F.xxhash64("u", "v")
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(h, F.lit(1_000_003))).alias("s1"),
+        F.sum(F.pmod(h, F.lit(999_983))).alias("s2"),
+    ).collect()[0]
+    return (r["n"], r["s1"], r["s2"]) if r["n"] else (0, None, None)
+
+
 def _fingerprints2(a: DataFrame, b: DataFrame) -> tuple:
     """Multiset fingerprints of two edge frames in ONE Spark job (tagged
     union + grouped agg). Each term is count + two independent modded hash
@@ -84,18 +96,97 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return from_neighbors.unionAll(from_centers).dropDuplicates(["u", "v"])
 
 
+# introspection for tests/bench: filled by every connected_components call
+LAST_RUN_STATS: dict = {"iterations": 0, "pre_contract_rounds": 0}
+
+
+def _pre_contract(a: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame | None]:
+    """Contract each node to min(N(u) ∪ {u}) for ``rounds`` passes.
+
+    Returns (contracted_edges, mapping) where mapping(orig, label) covers
+    every node of the ORIGINAL graph. Contraction preserves components
+    (u is connected to its label, which is a neighbor or itself), and the
+    global min m of a cluster always maps to itself (all its neighbors are
+    larger), so component ids are unchanged. LSH star edges (member ->
+    bucket-min) mostly collapse to their cluster min in one pass, so the
+    serial large/small-star loop then runs on a graph that is typically
+    orders of magnitude smaller — it replaces the loop's first (and most
+    expensive) iterations, not its correctness."""
+    mapping: DataFrame | None = None
+    for _ in range(rounds):
+        directed = a.select("u", "v").unionAll(
+            a.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        labels = (
+            directed.groupBy("u")
+            .agg(F.min("v").alias("__mn__"))
+            .select("u", F.least("__mn__", F.col("u")).alias("__l__"))
+        )
+        lu = labels.select(F.col("u"), F.col("__l__").alias("__lu__"))
+        lv = labels.select(F.col("u").alias("v"), F.col("__l__").alias("__lv__"))
+        a = (
+            a.join(lu, "u")
+            .join(lv, "v")
+            .where(F.col("__lu__") != F.col("__lv__"))
+            .select(
+                F.least("__lu__", "__lv__").alias("u"),
+                F.greatest("__lu__", "__lv__").alias("v"),
+            )
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint(eager=False)
+        )
+        step = labels.select(F.col("u").alias("orig"), F.col("__l__").alias("label"))
+        if mapping is None:
+            mapping = step
+        else:
+            # compose: relabel the previous round's labels through this
+            # round's mapping (nodes absent from the contracted graph keep
+            # their label — they were already fully contracted)
+            nxt = step.select(F.col("orig").alias("label"), F.col("label").alias("__nl__"))
+            mapping = mapping.join(nxt, "label", "left").select(
+                "orig", F.coalesce("__nl__", "label").alias("label")
+            )
+        mapping = mapping.localCheckpoint(eager=False)
+    return a, mapping
+
+
 def connected_components(
-    edges: DataFrame, id_col: str = ID, max_iterations: int = 64
+    edges: DataFrame,
+    id_col: str = ID,
+    max_iterations: int = 64,
+    pre_contract: int = 1,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(id_col, component), roots absent.
+
+    ``pre_contract``: rounds of hash-to-min contraction before the
+    large/small-star loop (0 = reference-shaped loop only). Output is
+    identical either way; the default single round typically removes 1-2
+    serial loop iterations on LSH edge sets, which dominate pipeline wall
+    time (the loop is the one serial section).
 
     Empty edge input returns an empty assignment frame (minhash_spark.py:382
     'No components found').
     """
-    spark = edges.sparkSession
     a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    mapping: DataFrame | None = None
+    if pre_contract > 0:
+        a, mapping = _pre_contract(a, pre_contract)
     a = a.localCheckpoint(eager=True)
+    LAST_RUN_STATS["pre_contract_rounds"] = pre_contract
 
+    # Convergence requires a TWO-MAP fixpoint: fp(a_prev) == fp(b) == fp(a),
+    # i.e. neither large-star nor small-star changed the graph. The
+    # reference stops on a == b alone (minhash_spark.py:377-379), which
+    # halts chain-shaped graphs (A<-B<-C<-...: each node min-of-bucket for
+    # the next) at a PARENT-POINTER state where `component` is a smaller
+    # non-root member, not the cluster min — its survivors are still
+    # correct (every non-root appears as a key) but its assignments diverge
+    # from its own single-node UnionFind (utils/union_find.py:7-28). A
+    # two-map fixpoint is provably a star: an edge (n,p) whose p has a
+    # parent q<p makes large-star re-emit (n, min<=q) != (n,p). This engine
+    # therefore guarantees component == cluster-min on every graph shape.
+    fp_prev = _fingerprint1(a)
+    iterations = 0
     for _ in range(max_iterations):
         # LAZY checkpoints: the fingerprint action below materializes
         # large-star, small-star, AND the convergence check in ONE job per
@@ -109,12 +200,29 @@ def connected_components(
         fp_a, fp_b = _fingerprints2(a, b)
         old_a.unpersist()
         b.unpersist()
-        # reference loop stops when small-star output == large-star output as
-        # sets (minhash_spark.py:374-379); multiset fingerprints of the two
-        # deduped frames agree iff (w.h.p.) the sets agree
-        if fp_a == fp_b:
+        iterations += 1
+        # multiset fingerprints of the deduped frames agree iff (w.h.p.)
+        # the sets agree; see the two-map fixpoint note above
+        if fp_a == fp_b == fp_prev:
             break
+        fp_prev = fp_a
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+    LAST_RUN_STATS["iterations"] = iterations
 
-    return a.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+    assigns = a.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+    if mapping is None:
+        return assigns
+    # compose the contraction mapping back over ALL original nodes:
+    # comp(orig) = comp_contracted(label) if the label was further merged,
+    # else the label itself; the cluster min maps to itself and is never a
+    # key of the inner result, so the roots-absent invariant carries over
+    comp = assigns.select(F.col(id_col).alias("label"), "component")
+    return (
+        mapping.join(comp, "label", "left")
+        .select(
+            F.col("orig").alias(id_col),
+            F.coalesce("component", "label").alias("component"),
+        )
+        .where(F.col(id_col) != F.col("component"))
+    )

@@ -39,6 +39,10 @@ class ImageDedupResult:
     caption_edges: DataFrame  # MinHash candidate edges over caption
     image_edges: DataFrame    # Hamming-verified edges over phash
     kept: DataFrame           # survivors of the union of all three
+    decode_flags: DataFrame | None = None  # (id,) of rows the container
+    # could not decode when undecodable='flag' (progressive JPEG etc.) —
+    # they are excluded from the phash modality only; materialized eagerly
+    # (tiny) so reading it never re-runs the decode UDF
 
     # Per-modality cluster views run their own CC only when asked for —
     # the survivor path needs just ONE CC over the unioned edges, so the
@@ -59,17 +63,27 @@ def image_dedup(
     phash_source: str = "column",
     hot_threshold: int | None = None,
     short_doc_policy: str = "cluster",
+    undecodable: str = "error",
 ) -> ImageDedupResult:
     """``phash_source``: 'column' trusts the stored phash int64;
     'pixels' recomputes it from the image bytes with the Arrow-batched
     decode UDF (functions/image_udf.phash_from_bytes) — the north-star
     "perceptual features from pixels" path; identical output for inputs
-    whose stored phash was derived from the same pixels."""
+    whose stored phash was derived from the same pixels.
+
+    ``undecodable`` (phash_source='pixels' only): 'error' fails the task on
+    a payload the container cannot decode; 'flag' records decode_ok=false
+    for it (progressive JPEG, corrupt bytes), keeps it OUT of the phash
+    modality (no pixel evidence), and still dedups it by exact bytes and
+    caption — the production policy for real web corpora."""
     minhash_cfg = (minhash_cfg or MinHashConfig()).resolve()
     simhash_cfg = simhash_cfg or SimHashConfig()
 
     if phash_source not in ("column", "pixels"):
         raise ValueError(f"unknown phash_source {phash_source!r}")
+    if undecodable not in ("error", "flag"):
+        raise ValueError(f"unknown undecodable policy {undecodable!r}")
+    flag_mode = undecodable == "flag" and phash_source == "pixels"
     # Compute early, shuffle small: every per-row feature (content hash,
     # perceptual hash, caption) is derived IN the scan partitions, the
     # multi-KB ``bytes`` payload never crosses a shuffle, and the id is
@@ -78,20 +92,37 @@ def image_dedup(
     # (Hash-id collision: ~n^2/2^65 — 1.5e-9 at 240k rows, ~3% odds of ONE
     # collision at 10^12, which would spuriously merge two docs; the staged
     # text pipeline keeps dense ids for the reference's PREV_ID contract.)
-    if phash_source == "pixels":
-        from ..functions.image_udf import phash_from_bytes
-
-        phash_col = phash_from_bytes(F.col("bytes"), F.col("fmt"))
-    else:
-        phash_col = F.col("phash").cast("long")
-
     corpus = df.withColumn(ID, F.xxhash64("image_id"))
-    feats = corpus.select(
-        F.col(ID),
-        F.sha2(F.col("bytes"), 256).alias("__bhash__"),
-        phash_col.alias("__phash__"),
-        F.col("caption"),
-    ).persist()
+    if flag_mode:
+        from ..functions.image_udf import phash_from_bytes_flagged
+
+        # one UDF evaluation: project the struct, then expand its fields
+        feats = corpus.select(
+            F.col(ID),
+            F.sha2(F.col("bytes"), 256).alias("__bhash__"),
+            phash_from_bytes_flagged(F.col("bytes"), F.col("fmt")).alias("__pf__"),
+            F.col("caption"),
+        ).select(
+            ID,
+            "__bhash__",
+            F.col("__pf__.phash").alias("__phash__"),
+            F.col("__pf__.decode_ok").alias("__decok__"),
+            "caption",
+        ).persist()
+    else:
+        if phash_source == "pixels":
+            from ..functions.image_udf import phash_from_bytes
+
+            phash_col = phash_from_bytes(F.col("bytes"), F.col("fmt"))
+        else:
+            phash_col = F.col("phash").cast("long")
+        feats = corpus.select(
+            F.col(ID),
+            F.sha2(F.col("bytes"), 256).alias("__bhash__"),
+            phash_col.alias("__phash__"),
+            F.lit(True).alias("__decok__"),
+            F.col("caption"),
+        ).persist()
     feats.count()  # one pass over the raw bytes; materialized before the
     # three modality branches fork (lazy persist would convoy them on
     # per-partition cache locks)
@@ -111,9 +142,14 @@ def image_dedup(
     caption_edges = candidate_edges(bands, ID, hot_threshold=hot_threshold)
 
     image_edges = simhash_edges(
-        feats.select(F.col(ID), F.col("__phash__").alias("sig")),
+        feats.where(F.col("__decok__")).select(F.col(ID), F.col("__phash__").alias("sig")),
         simhash_cfg,
         ID,
+    )
+    decode_flags = (
+        feats.where(~F.col("__decok__")).select(F.col(ID)).localCheckpoint(eager=True)
+        if flag_mode
+        else None
     )
 
     # union of modalities -> ONE connected-components pass: an id removed by
@@ -134,7 +170,7 @@ def image_dedup(
     # broadcast=False and let AQE plan the shuffle join.)
     kept, _removed = split_survivors(corpus, merged, ID, broadcast=True)
 
-    return ImageDedupResult(corpus, exact, caption_edges, image_edges, kept)
+    return ImageDedupResult(corpus, exact, caption_edges, image_edges, kept, decode_flags)
 
 
 def verify_fidelity(

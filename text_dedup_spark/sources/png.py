@@ -102,6 +102,18 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image format {fmt!r}")
 
 
+def try_decode_image(data: bytes, fmt: str):
+    """``decode_image`` that returns None instead of raising for payloads
+    this container cannot decode — progressive/arithmetic JPEG
+    (NotImplementedError, ~10-20% of real web corpora) and corrupt streams
+    (ValueError). The operator-level skip+flag policy: a bad row becomes
+    ``decode_ok=false``, never a task failure that kills a 100-TB job."""
+    try:
+        return decode_image(data, fmt)
+    except (NotImplementedError, ValueError):
+        return None
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

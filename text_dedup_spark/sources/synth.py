@@ -232,12 +232,25 @@ AUDIO_SCHEMA = StructType(
 )
 
 
-def audio_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+def audio_table(
+    spark: SparkSession, n_rows: int, seed: int = 42, container: str = "wav"
+) -> DataFrame:
     """Deterministic synthetic audio table: groups of 5 clips with planted
     duplicates (slot 0 anchor, slot 1 exact dup, slot 2 near-dup [tiny
     additive noise, fingerprint-stable], slots 3-4 singletons). Same
-    distributed mapInPandas generation scheme as images_table."""
-    from ..functions.media_udf import fake_pcm
+    distributed mapInPandas generation scheme as images_table.
+
+    ``container``: 'wav' (default — real RIFF/PCM bytes through the pure-
+    Python parser) or 'fpcm' (the deterministic test container)."""
+    from ..functions.media_udf import encode_wav, fake_pcm
+
+    if container not in ("wav", "fpcm"):
+        raise ValueError(f"unknown audio container {container!r}")
+    pack = (
+        (lambda samples, rate: encode_wav(samples, rate))
+        if container == "wav"
+        else fake_pcm
+    )
 
     n_groups = (n_rows + 4) // 5
     rate, n_samp = 8000, 4000
@@ -254,7 +267,7 @@ def audio_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
                     rows.append(
                         {
                             "clip_id": f"clip-{base_id + slot:010d}",
-                            "bytes": fake_pcm(samples, rate),
+                            "bytes": pack(samples, rate),
                             "sample_rate": rate,
                             "n_samples": n_samp,
                         }
