@@ -29,16 +29,16 @@ from pyspark.sql import functions as F
 from .ids import ID
 
 
-def _fingerprint1(df: DataFrame) -> tuple:
-    """Multiset fingerprint of one edge frame (same terms as
-    ``_fingerprints2``): count + two independent modded hash sums."""
-    h = F.xxhash64("u", "v")
-    r = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(h, F.lit(1_000_003))).alias("s1"),
-        F.sum(F.pmod(h, F.lit(999_983))).alias("s2"),
-    ).collect()[0]
-    return (r["n"], r["s1"], r["s2"]) if r["n"] else (0, None, None)
+def _is_star(a: DataFrame) -> bool:
+    """True iff no dst of ``a`` also appears as a src — i.e. every edge
+    points directly at a root. Run only when the a==b fingerprint check
+    fires, so it costs one tiny job per CC call, not per iteration."""
+    return (
+        a.select("v")
+        .distinct()
+        .join(a.select(F.col("u").alias("v")).distinct(), "v")
+        .isEmpty()
+    )
 
 
 def _fingerprints2(a: DataFrame, b: DataFrame) -> tuple:
@@ -154,15 +154,19 @@ def connected_components(
     edges: DataFrame,
     id_col: str = ID,
     max_iterations: int = 64,
-    pre_contract: int = 1,
+    pre_contract: int = 0,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(id_col, component), roots absent.
 
     ``pre_contract``: rounds of hash-to-min contraction before the
     large/small-star loop (0 = reference-shaped loop only). Output is
-    identical either way; the default single round typically removes 1-2
-    serial loop iterations on LSH edge sets, which dominate pipeline wall
-    time (the loop is the one serial section).
+    identical either way. Measured guidance: LSH star edges from a typical
+    dedup corpus converge in ONE loop iteration already (bench corpus:
+    iterations=1), where contraction is pure added latency — hence default
+    0; on deeper graphs (bridged clusters, chains: overlapping buckets at
+    web scale) each round cuts ~1 serial iteration and shrinks the frames
+    the loop shuffles (tests/test_minhash_pipeline.py measures 3 -> 2 and
+    4 -> 3), so set 1-2 when cluster diameters are expected to be large.
 
     Empty edge input returns an empty assignment frame (minhash_spark.py:382
     'No components found').
@@ -174,18 +178,17 @@ def connected_components(
     a = a.localCheckpoint(eager=True)
     LAST_RUN_STATS["pre_contract_rounds"] = pre_contract
 
-    # Convergence requires a TWO-MAP fixpoint: fp(a_prev) == fp(b) == fp(a),
-    # i.e. neither large-star nor small-star changed the graph. The
-    # reference stops on a == b alone (minhash_spark.py:377-379), which
-    # halts chain-shaped graphs (A<-B<-C<-...: each node min-of-bucket for
-    # the next) at a PARENT-POINTER state where `component` is a smaller
-    # non-root member, not the cluster min — its survivors are still
-    # correct (every non-root appears as a key) but its assignments diverge
-    # from its own single-node UnionFind (utils/union_find.py:7-28). A
-    # two-map fixpoint is provably a star: an edge (n,p) whose p has a
-    # parent q<p makes large-star re-emit (n, min<=q) != (n,p). This engine
-    # therefore guarantees component == cluster-min on every graph shape.
-    fp_prev = _fingerprint1(a)
+    # Convergence: a == b (the reference's rule, minhash_spark.py:377-379)
+    # AND a is star-shaped. The reference's rule ALONE halts chain-shaped
+    # graphs (A<-B<-C<-...: each node min-of-bucket for the next) at a
+    # PARENT-POINTER state where `component` is a smaller non-root member,
+    # not the cluster min — its survivors are still correct (every non-root
+    # appears as a key) but its assignments diverge from its own
+    # single-node UnionFind (utils/union_find.py:7-28). A star-shaped a==b
+    # state IS the per-cluster-min assignment (edges (n, r) with r no
+    # one's child and r < n, and the maps preserve connectivity), so this
+    # engine guarantees component == cluster-min on every graph shape; the
+    # star probe is one tiny job run only when a == b fires.
     iterations = 0
     for _ in range(max_iterations):
         # LAZY checkpoints: the fingerprint action below materializes
@@ -202,10 +205,9 @@ def connected_components(
         b.unpersist()
         iterations += 1
         # multiset fingerprints of the deduped frames agree iff (w.h.p.)
-        # the sets agree; see the two-map fixpoint note above
-        if fp_a == fp_b == fp_prev:
+        # the sets agree; see the star-shape note above
+        if fp_a == fp_b and _is_star(a):
             break
-        fp_prev = fp_a
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
     LAST_RUN_STATS["iterations"] = iterations
