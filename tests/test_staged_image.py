@@ -97,3 +97,63 @@ def test_staged_cross_dataset_dedup(spark, tmp_path_factory):
     # in which case kept <= distinct contents
     assert set(kept_hashes) <= all_hashes
     assert len(set(kept_hashes)) >= len(all_hashes) * 0.5
+
+
+def test_staged_features_flag_policy(spark, tmp_path):
+    """stage_features(undecodable='flag') checkpoints decode_ok; the
+    cluster stage excludes flagged rows from the phash modality but they
+    still dedup by exact bytes."""
+    from text_dedup_spark.config import MinHashConfig, SimHashConfig
+    from text_dedup_spark.plans.staged_image import (
+        bands_name,
+        feats_name,
+        stage_apply,
+        stage_cluster,
+        stage_features,
+    )
+    from text_dedup_spark.sources.catalog import ParquetCatalog
+    from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+    from text_dedup_spark.sources.png import encode_png
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def rand_img(seed):
+        rng = np.random.RandomState(seed)
+        return (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+
+    def progressive(img):
+        data = bytearray(encode_jpeg_baseline(img, 1))
+        sof = data.index(b"\xff\xc0")
+        data[sof + 1] = 0xC2
+        return bytes(data)
+
+    def cap(i):
+        rng = np.random.RandomState(500 + i)
+        return " ".join(f"v{rng.randint(100000)}" for _ in range(30))
+
+    rows = []
+    for i in range(5):
+        rows.append((f"g{i}", bytearray(encode_png(rand_img(i))), 32, 32, "png", cap(i), 0))
+    pb = progressive(rand_img(77))
+    rows.append(("p0", bytearray(pb), 32, 32, "jpeg", cap(100), 0))
+    rows.append(("p1", bytearray(pb), 32, 32, "jpeg", cap(100), 0))  # exact clone
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    df = spark.createDataFrame(rows, schema)
+
+    catalog = ParquetCatalog(spark, str(tmp_path / "ck_flag"))
+    mc = MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7)
+    stage_features(catalog, df, mc, "d1", phash_source="pixels", undecodable="flag")
+    feats = catalog.read(feats_name("d1"))
+    assert "decode_ok" in feats.columns
+    flagged = {r["image_id"] for r in feats.where(~F.col("decode_ok")).collect()}
+    assert flagged == {"p0", "p1"}
+    assert feats.where(F.col("decode_ok") & F.col("phash").isNull()).count() == 0
+
+    stage_cluster(catalog, ["d1"], SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram=3))
+    kept_n, removed_n = stage_apply(catalog, df, "d1")
+    kept = {r["image_id"] for r in catalog.read("d1__kept").collect()}
+    # the byte-exact progressive clone is removed via the exact modality
+    assert ("p0" in kept) != ("p1" in kept)
+    assert {f"g{i}" for i in range(5)} <= kept
+    assert kept_n + removed_n == 7

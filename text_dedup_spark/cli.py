@@ -164,6 +164,7 @@ def cmd_image_features(args) -> None:
         _minhash_cfg(args),
         dataset=args.dataset, phash_source=args.phash_source,
         short_doc_policy=args.short_doc_policy,
+        undecodable=args.undecodable,
     )
     if _own:
         spark.stop()
@@ -303,6 +304,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--dataset", required=True)
     p.add_argument("--phash_source", default="column", choices=["column", "pixels"])
+    p.add_argument("--undecodable", default="error", choices=["error", "flag"],
+                   help="flag: undecodable payloads (progressive JPEG, corrupt "
+                        "bytes) get decode_ok=false and skip the phash modality "
+                        "instead of failing the task")
     p.set_defaults(fn=cmd_image_features)
 
     p = sub.add_parser("image-cluster", help="image stage B: 3-modality global CC")

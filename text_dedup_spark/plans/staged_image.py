@@ -55,24 +55,44 @@ def stage_features(
     phash_source: str = "column",
     run_id: str | None = None,
     short_doc_policy: str = "cluster",
+    undecodable: str = "error",
 ) -> None:
     run_id = run_id or uuid.uuid4().hex
     minhash_cfg = minhash_cfg.resolve()
     t = Timer()
     with t("features"):
-        if phash_source == "pixels":
-            from ..functions.image_udf import phash_from_bytes
+        if phash_source == "pixels" and undecodable == "flag":
+            # skip+flag policy (plans/image_pipeline.py docstring): the
+            # feats checkpoint carries decode_ok; stage_cluster excludes
+            # flagged rows from the phash modality only
+            from ..functions.image_udf import phash_from_bytes_flagged
 
-            phash_col = phash_from_bytes(F.col("bytes"), F.col("fmt"))
+            feats = df.select(
+                F.xxhash64("image_id").alias(ID),
+                F.col("image_id"),
+                F.sha2(F.col("bytes"), 256).alias("bhash"),
+                phash_from_bytes_flagged(F.col("bytes"), F.col("fmt")).alias("__pf__"),
+                F.col("caption"),
+            ).select(
+                ID, "image_id", "bhash",
+                F.col("__pf__.phash").alias("phash"),
+                F.col("__pf__.decode_ok").alias("decode_ok"),
+                "caption",
+            )
         else:
-            phash_col = F.col("phash").cast("long")
-        feats = df.select(
-            F.xxhash64("image_id").alias(ID),
-            F.col("image_id"),
-            F.sha2(F.col("bytes"), 256).alias("bhash"),
-            phash_col.alias("phash"),
-            F.col("caption"),
-        )
+            if phash_source == "pixels":
+                from ..functions.image_udf import phash_from_bytes
+
+                phash_col = phash_from_bytes(F.col("bytes"), F.col("fmt"))
+            else:
+                phash_col = F.col("phash").cast("long")
+            feats = df.select(
+                F.xxhash64("image_id").alias(ID),
+                F.col("image_id"),
+                F.sha2(F.col("bytes"), 256).alias("bhash"),
+                phash_col.alias("phash"),
+                F.col("caption"),
+            )
         catalog.write(feats, feats_name(dataset))
         # bands from the CHECKPOINT (not the raw table): the signature UDF
         # reads the narrow feats parquet, so bytes are decoded exactly once
@@ -103,8 +123,11 @@ def stage_cluster(
         bands = catalog.read_many([bands_name(ds) for ds in datasets])
         exact = exact_assignments(feats, "bhash", ID, algo="precomputed")
         caption_edges = candidate_edges(bands, ID, hot_threshold=hot_threshold)
+        ph_src = feats
+        if "decode_ok" in feats.columns:  # flagged checkpoints: no pixel
+            ph_src = feats.where(F.col("decode_ok"))  # evidence, no phash edge
         image_edges = simhash_edges(
-            feats.select(F.col(ID), F.col("phash").alias("sig")), simhash_cfg, ID
+            ph_src.select(F.col(ID), F.col("phash").alias("sig")), simhash_cfg, ID
         )
         all_edges = (
             exact.select(F.col(ID).alias("src"), F.col("component").alias("dst"))
