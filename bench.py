@@ -217,22 +217,29 @@ def run_scaling(n_images: int) -> dict:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    # HEALTHY-PHASE GATE (VERDICT r2 #2): a pair is only ACCEPTED for the
-    # headline when its own zero-coordination ceiling leg scales >= gate —
-    # i.e. the machine phase it ran under could physically exhibit the
-    # target. Rejected pairs (hypervisor-throttled phases where even the
-    # shuffle-free feature stage loses >20% of ideal scaling) are kept in
-    # the drift table as context; they measure the VM, not the engine.
+    # HEALTHY-PHASE GATE (VERDICT r2 #2), SYMMETRIC: a pair is only
+    # ACCEPTED for the headline when its own zero-coordination ceiling leg
+    # scales within [gate, 1/gate] — i.e. the machine phase it ran under
+    # was stable enough to physically exhibit the target. Below-gate
+    # ceilings are hypervisor-throttled phases (even the shuffle-free
+    # feature stage loses >20% of ideal scaling); ABOVE-1/gate
+    # (superlinear) ceilings prove the phase flipped BETWEEN the pair's
+    # legs, which corrupts the pipeline sample in either direction
+    # (observed: ceiling 1.157 paired with pipeline 0.618). Rejected pairs
+    # are kept in the drift table as context; they measure the VM, not the
+    # engine.
     gate = float(os.environ.get("SPARK_GRAFT_SCALING_GATE", "0.8"))
     max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ATTEMPTS", "8"))
 
     def one_pair() -> dict:
-        # interleave all four legs so one machine phase covers the whole
-        # pair: ceiling@N, ceiling@4N, pipeline@N, pipeline@4N
+        # leg order: the ceiling legs BRACKET the window (first and last)
+        # so a phase flip anywhere inside the pair shows up in the ceiling
+        # ratio, and the two pipeline legs are adjacent in the middle —
+        # minimum phase exposure between the two numbers being compared.
         c_n = one(n, "parallel")
-        c_4n = one(n4, "parallel")
         r_n = one(n, "full")
         r_4n = one(n4, "full")
+        c_4n = one(n4, "parallel")
         ceil_eff = round(c_4n["images_per_sec"] / (4 * c_n["images_per_sec"]), 3)
         pipe_eff = round(r_4n["images_per_sec"] / (4 * r_n["images_per_sec"]), 3)
         return {
@@ -252,7 +259,7 @@ def run_scaling(n_images: int) -> dict:
     accepted, attempts = [], []
     while len(accepted) < repeats and len(attempts) < max_attempts:
         p = one_pair()
-        p["healthy_phase"] = p["ceil_eff"] >= gate
+        p["healthy_phase"] = gate <= p["ceil_eff"] <= round(1 / gate, 3)
         attempts.append(p)
         if p["healthy_phase"]:
             accepted.append(p)
@@ -295,12 +302,15 @@ def _write_bench_md_pairs(attempts, accepted, med, n_images, n, n4, gate) -> Non
         for i, p in enumerate(attempts)
     )
     gate_note = (
-        f"""**Healthy-phase gate:** a pair enters the headline table only when its
-own zero-coordination ceiling leg scales >= {gate} — i.e. the machine
-phase could physically exhibit the target; throttled-phase pairs (the
-hypervisor losing >20% of ideal scaling on a shuffle-free per-row
-feature stage) are recorded below as drift context, not as engine
-evidence. Accepted {len(accepted)}/{len(attempts)} attempts this run.
+        f"""**Healthy-phase gate (symmetric):** a pair enters the headline table
+only when its own zero-coordination ceiling legs — run FIRST and LAST so
+they bracket the whole pair window — scale within [{gate}, {round(1 / gate, 3)}].
+Below {gate}: the hypervisor throttled the window (even the shuffle-free
+per-row feature stage lost >20% of ideal scaling). Above {round(1 / gate, 3)}
+(superlinear): the machine phase flipped BETWEEN the legs, which corrupts
+the pipeline sample in either direction. Rejected pairs are recorded
+below as drift context, not as engine evidence. Accepted
+{len(accepted)}/{len(attempts)} attempts this run.
 
 | attempt | ceiling eff | pipeline eff | normalized | verdict |
 |---|---|---|---|---|
@@ -339,10 +349,11 @@ across one session, so a best-of-N-per-level ratio swung 0.66-0.88 with
 phase alignment alone. Each repeat therefore runs FOUR interleaved legs
 under one machine phase: the job's embarrassingly-parallel feature stage
 (pixel decode + phash + sha256 + MinHash banding — per-row compute, zero
-shuffle) at {n} then {n4} cores, then the full pipeline at {n} then {n4}.
-The feature stage's efficiency IS the hardware ceiling for this exact
-workload (no coordination to lose); the pipeline reads against it. Every
-run is taskset-pinned to exactly its core budget.
+shuffle) at {n} cores, the full pipeline at {n} then {n4}, and the feature
+stage again at {n4} — ceiling legs bracketing the window, pipeline legs
+adjacent. The feature stage's efficiency IS the hardware ceiling for this
+exact workload (no coordination to lose); the pipeline reads against it.
+Every run is taskset-pinned to exactly its core budget.
 
 | pair | ceiling walls {n}/{n4} (s) | ceiling eff | pipeline walls {n}/{n4} (s) | pipeline eff | normalized | survivors equal |
 |---|---|---|---|---|---|---|

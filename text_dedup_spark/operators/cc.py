@@ -10,10 +10,14 @@ the same one the reference implements over RDD groupByKey
 - per-iteration ``localCheckpoint(eager=True)`` truncates the growing lineage
   (the reference instead leaks .cache() chains and manually gc.collect()s,
   loadHashAndDedup.py:219-221,291-293).
-- convergence via a multiset fingerprint (count + sum(xxhash64(u, v)))
-  computed executor-side, instead of ``a.subtract(b).union(b.subtract(a))
-  .collect()`` (minhash_spark.py:377) which materializes the symmetric
-  difference on the driver every iteration.
+- convergence via a per-iteration STAR PROBE (one tiny semi-join job)
+  instead of ``a.subtract(b).union(b.subtract(a)).collect()``
+  (minhash_spark.py:377) which materializes the symmetric difference on
+  the driver every iteration. A star-shaped state is a fixpoint of both
+  maps AND is the per-cluster-min assignment (proof at the loop), so the
+  probe both detects convergence one iteration EARLIER than the
+  reference's a==b rule (no confirmation pass over an already-converged
+  graph) and removes the per-iteration fingerprint scan of a ∪ b.
 
 Output invariant (must hold for dedup semantics, SURVEY §2.5 C6): rows are
 (id, component=min id of cluster) and cluster roots NEVER appear as ids —
@@ -31,37 +35,24 @@ from .ids import ID
 
 def _is_star(a: DataFrame) -> bool:
     """True iff no dst of ``a`` also appears as a src — i.e. every edge
-    points directly at a root. Run only when the a==b fingerprint check
-    fires, so it costs one tiny job per CC call, not per iteration."""
-    return (
-        a.select("v")
-        .distinct()
-        .join(a.select(F.col("u").alias("v")).distinct(), "v")
-        .isEmpty()
-    )
-
-
-def _fingerprints2(a: DataFrame, b: DataFrame) -> tuple:
-    """Multiset fingerprints of two edge frames in ONE Spark job (tagged
-    union + grouped agg). Each term is count + two independent modded hash
-    sums; mods keep terms ~1e6 so the long sums cannot overflow before
-    ~1e12 edges even under ANSI arithmetic."""
-    h = F.xxhash64("u", "v")
-    tagged = a.select("u", "v", F.lit(0).alias("__t__")).unionAll(
-        b.select("u", "v", F.lit(1).alias("__t__"))
-    )
-    rows = (
-        tagged.groupBy("__t__")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(h, F.lit(1_000_003))).alias("s1"),
-            F.sum(F.pmod(h, F.lit(999_983))).alias("s2"),
+    points directly at a root. Expressed as explode + one aggregation
+    (2 stages) rather than a self-semi-join (4 stages + join planning):
+    a node violates star-shape iff it occurs both as src and as dst."""
+    both = (
+        a.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("n"), F.lit(1).alias("s"), F.lit(0).alias("d")),
+                    F.struct(F.col("v").alias("n"), F.lit(0).alias("s"), F.lit(1).alias("d")),
+                )
+            ).alias("x")
         )
-        .collect()
+        .select("x.n", "x.s", "x.d")
+        .groupBy("n")
+        .agg(F.max("s").alias("s"), F.max("d").alias("d"))
+        .where((F.col("s") == 1) & (F.col("d") == 1))
     )
-    by_tag = {r["__t__"]: (r["n"], r["s1"], r["s2"]) for r in rows}
-    empty = (0, None, None)
-    return by_tag.get(0, empty), by_tag.get(1, empty)
+    return both.isEmpty()
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -71,11 +62,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = directed.groupBy("u").agg(F.min("v").alias("__mn__"))
     mins = mins.select("u", F.least("__mn__", F.col("u")).alias("__m__"))
+    # No dropDuplicates here: duplicates (several u emitting the same
+    # (v, m)) are absorbed by small-star's min-aggregate in the same job,
+    # and |b| <= |directed| = 2|a| regardless, so skipping the dedup
+    # removes one exchange per iteration without unbounding anything.
     return (
         directed.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("__m__").alias("v"))
-        .dropDuplicates(["u", "v"])
     )
 
 
@@ -171,46 +165,74 @@ def connected_components(
     Empty edge input returns an empty assignment frame (minhash_spark.py:382
     'No components found').
     """
+    import time as _time
+
+    t0 = _time.monotonic()
     a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     mapping: DataFrame | None = None
     if pre_contract > 0:
         a, mapping = _pre_contract(a, pre_contract)
     a = a.localCheckpoint(eager=True)
     LAST_RUN_STATS["pre_contract_rounds"] = pre_contract
+    LAST_RUN_STATS["edge_materialize_sec"] = round(_time.monotonic() - t0, 3)
+    t0 = _time.monotonic()
 
-    # Convergence: a == b (the reference's rule, minhash_spark.py:377-379)
-    # AND a is star-shaped. The reference's rule ALONE halts chain-shaped
-    # graphs (A<-B<-C<-...: each node min-of-bucket for the next) at a
-    # PARENT-POINTER state where `component` is a smaller non-root member,
-    # not the cluster min — its survivors are still correct (every non-root
-    # appears as a key) but its assignments diverge from its own
-    # single-node UnionFind (utils/union_find.py:7-28). A star-shaped a==b
-    # state IS the per-cluster-min assignment (edges (n, r) with r no
-    # one's child and r < n, and the maps preserve connectivity), so this
-    # engine guarantees component == cluster-min on every graph shape; the
-    # star probe is one tiny job run only when a == b fires.
+    # Convergence: a is STAR-SHAPED (no dst also a src). Why that alone is
+    # sufficient AND correct — stronger than the reference's a == b rule
+    # (minhash_spark.py:377-379):
+    #   * small-star output always points downward (dst = a min over keys
+    #     >= dst, filtered dst != src), so in a star-shaped a every root r
+    #     is smaller than all its members.
+    #   * both maps preserve the connected components of the original
+    #     graph (Kiveris et al., Thm 1-2), so each star's node set is
+    #     exactly one original component.
+    #   * the component's global min m must be the root: were m a member,
+    #     it would have an edge (m, r) with r < m in the same component —
+    #     contradicting minimality. Hence component == cluster-min.
+    #   * a star is a fixpoint of both maps (large-star re-emits (n, r)
+    #     for every member n; small-star keeps (n, r)), so stopping here
+    #     equals the reference's answer while skipping its confirmation
+    #     iteration over the already-converged graph.
+    # The reference's rule ALONE can also halt chain-shaped graphs at a
+    # PARENT-POINTER state where `component` is a smaller non-root member
+    # (divergent from its own UnionFind, utils/union_find.py:7-28); the
+    # star test guarantees per-cluster-min on every graph shape.
+    # Pin the loop's joins to shuffle joins: the per-node-min frames joined
+    # inside large/small-star are co-partitioned with the groupBy exchange
+    # that produced them (same key u), so sort-merge reuses that exchange,
+    # while a broadcast pick costs a separate driver-blocking
+    # collect+rebroadcast job per join (~1s each measured) — pure serial
+    # latency here. At scale the mins frame is O(nodes) anyway: never
+    # broadcast-able. Restored after the loop.
+    spark = edges.sparkSession
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     iterations = 0
     for _ in range(max_iterations):
-        # LAZY checkpoints: the fingerprint action below materializes
-        # large-star, small-star, AND the convergence check in ONE job per
-        # iteration (vs three with eager checkpoints) — the CC loop is the
-        # serial section of the whole pipeline, so job-count is its cost.
-        # Lineage still truncates at the checkpoint once materialized.
+        # ONE eager checkpoint per iteration materializes large-star AND
+        # small-star in a single job and truncates lineage there; the star
+        # probe then runs on the few-MB checkpointed frame. (A lazy
+        # checkpoint + isEmpty probe does NOT work: limit-1 short-circuits
+        # full materialization, so each iteration re-executes its
+        # predecessors — measured stage counts grew 2 -> 6 -> 11 per
+        # probe. The CC loop is the serial section of the whole pipeline,
+        # so job/stage count is its cost.)
         b = _large_star(a).localCheckpoint(eager=False)
-        new_a = _small_star(b).localCheckpoint(eager=False)
+        new_a = _small_star(b).localCheckpoint(eager=True)
         old_a = a
         a = new_a
-        fp_a, fp_b = _fingerprints2(a, b)
+        iterations += 1
+        star = _is_star(a)
         old_a.unpersist()
         b.unpersist()
-        iterations += 1
-        # multiset fingerprints of the deduped frames agree iff (w.h.p.)
-        # the sets agree; see the star-shape note above
-        if fp_a == fp_b and _is_star(a):
+        if star:
             break
     else:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         raise RuntimeError(f"connected_components did not converge in {max_iterations} iterations")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     LAST_RUN_STATS["iterations"] = iterations
+    LAST_RUN_STATS["loop_sec"] = round(_time.monotonic() - t0, 3)
 
     assigns = a.select(F.col("u").alias(id_col), F.col("v").alias("component"))
     if mapping is None:
@@ -218,7 +240,10 @@ def connected_components(
     # compose the contraction mapping back over ALL original nodes:
     # comp(orig) = comp_contracted(label) if the label was further merged,
     # else the label itself; the cluster min maps to itself and is never a
-    # key of the inner result, so the roots-absent invariant carries over
+    # key of the inner result, so the roots-absent invariant carries over.
+    # Eagerly checkpointed: the lazy contraction mappings above would
+    # otherwise be re-executed by every downstream action (measured: a
+    # 0.6s survivor split ballooning to 9s).
     comp = assigns.select(F.col(id_col).alias("label"), "component")
     return (
         mapping.join(comp, "label", "left")
@@ -227,4 +252,5 @@ def connected_components(
             F.coalesce("component", "label").alias("component"),
         )
         .where(F.col(id_col) != F.col("component"))
+        .localCheckpoint(eager=True)
     )
