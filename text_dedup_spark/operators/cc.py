@@ -94,6 +94,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
 LAST_RUN_STATS: dict = {"iterations": 0, "pre_contract_rounds": 0}
 
 
+# NOTE (measured, round 3): a per-partition union-find "filtering" pass
+# (mapInPandas spanning forest, zero shuffle) was prototyped here and
+# REMOVED — on LSH star-edge graphs the merge chains are cross-partition
+# by construction (each modality's bucket-min lives wherever its bucket
+# hashed), so local contraction cut neither iterations (still 4) nor
+# loop wall, while adding a Python-worker pass over the edges.
+
+
 def _pre_contract(a: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame | None]:
     """Contract each node to min(N(u) ∪ {u}) for ``rounds`` passes.
 
@@ -217,6 +225,11 @@ def connected_components(
         # predecessors — measured stage counts grew 2 -> 6 -> 11 per
         # probe. The CC loop is the serial section of the whole pipeline,
         # so job/stage count is its cost.)
+        # ONE large/small-star round per eager checkpoint. (Unrolling two
+        # rounds per job was measured SLOWER: the mid-round lazy checkpoint
+        # is consumed by several union branches of the same job, which
+        # re-execute it before it is persisted — 48 stages vs 41 and +50%
+        # loop wall.)
         b = _large_star(a).localCheckpoint(eager=False)
         new_a = _small_star(b).localCheckpoint(eager=True)
         old_a = a
