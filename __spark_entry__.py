@@ -446,15 +446,18 @@ def q_audio_near_dup(spark, sf_dir):
 
 
 def q_video_near_dup(spark, sf_dir):
-    """Video modality: synthetic FVID clips -> frame-sample (every 2nd
-    frame) + temporal-aHash fingerprint -> Hamming clustering."""
+    """Video modality: REAL RIFF/AVI clips (pure-Python DIB decode,
+    sources/avi.py) with the exact-dup slot shipped as the FVID container
+    of the same pixels (container='mixed' — per-row dispatch inside one
+    binary column) -> frame-sample (every 2nd frame) + temporal-aHash
+    fingerprint -> Hamming clustering."""
     from text_dedup_spark.functions.media_udf import (
         media_near_dup_assignments,
         video_meta_table,
     )
     from text_dedup_spark.sources.synth import video_table
 
-    clips = video_table(spark, 250, seed=42).withColumn(
+    clips = video_table(spark, 250, seed=42, container="mixed").withColumn(
         "__id__", F.xxhash64("clip_id")
     )
     meta = video_meta_table(

@@ -200,3 +200,126 @@ def test_wav_golden_fingerprint_and_end_to_end(spark):
     pairs = {(r["clip_id"], r["component"]) for r in assigns.collect()}
     assert (1, 0) in pairs
     assert all(cid != 2 for cid, _ in pairs)
+
+
+# --- real AVI container (pure Python, sources/avi.py) ------------------------
+
+
+def _smooth_frames(n=6, h=32, w=32, seed=3):
+    """Low-frequency frames (JPEG-friendly) with per-frame drift."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = np.empty((n, h, w), dtype=np.uint8)
+    for i in range(n):
+        z = 128 + 90 * np.sin(yy / 7.0 + i * 0.4) * np.cos(xx / 9.0 - i * 0.2)
+        out[i] = np.clip(z, 0, 255).astype(np.uint8)
+    return out
+
+
+def test_avi_dib_round_trip_exact():
+    """Uncompressed-DIB AVI is lossless: decode(encode(x)) == x, including
+    odd widths that force 4-byte row padding and odd chunk sizes."""
+    from text_dedup_spark.sources.avi import decode_avi, encode_avi, is_avi
+
+    for w in (32, 33):  # 33*3=99 bytes/row -> stride 100, odd-size chunks
+        frames = _smooth_frames(4, 31, w)
+        blob = encode_avi(frames, fps=5, codec="dib")
+        assert is_avi(blob)
+        out = decode_avi(blob)
+        assert out.shape == frames.shape
+        np.testing.assert_array_equal(out, frames)
+
+    # RGB input decodes to the channel-mean grayscale (phash64 convention)
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, size=(3, 16, 16, 3), dtype=np.uint8)
+    out = decode_avi(encode_avi(rgb, codec="dib"))
+    expect = np.clip(np.rint(rgb.astype(np.float64).mean(axis=3)), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_avi_mjpeg_round_trip_psnr():
+    """MJPEG frames decode through the in-repo baseline-JPEG codec with
+    near-lossless fidelity at quant_scale=1 (north-star >= 40 dB bar)."""
+    from text_dedup_spark.sources.avi import decode_avi, encode_avi
+    from text_dedup_spark.sources.png import psnr
+
+    frames = _smooth_frames(5, 32, 32)
+    out = decode_avi(encode_avi(frames, codec="mjpg", quant_scale=1))
+    assert out.shape == frames.shape
+    for a, b in zip(frames, out):
+        assert psnr(a, b) >= 40.0
+
+
+def test_avi_error_policy():
+    from text_dedup_spark.sources.avi import decode_avi, encode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+    # headers only, no movi frames
+    import struct
+
+    blob = encode_avi(_smooth_frames(1), codec="dib")
+    headers_only = blob[: blob.index(b"LIST", 12)]
+    trunc = b"RIFF" + struct.pack("<I", len(headers_only) - 8 + 4) + b"AVI " + headers_only[12:]
+    with pytest.raises(ValueError):
+        decode_avi(trunc)
+    # inter-frame codec (not DIB, frame not a JFIF stream) -> env-gated
+    h264 = blob.replace(b"DIB ", b"H264").replace(
+        struct.pack("<HI", 24, 0), struct.pack("<HI", 24, struct.unpack("<I", b"H264")[0])
+    ).replace(b"00db", b"00dc")
+    with pytest.raises(NotImplementedError):
+        decode_avi(h264)
+
+
+def test_avi_end_to_end_and_mixed_containers(spark):
+    """video_meta_table + near-dup clustering over REAL AVI bytes, with the
+    deterministic FVID container mixed into the same column (dispatch is
+    per-row); AVI-vs-FVID of identical pixels fingerprint identically."""
+    from text_dedup_spark.functions.media_udf import frames_fingerprint64
+    from text_dedup_spark.sources.avi import encode_avi
+
+    base = _smooth_frames(6, 32, 32)
+    near = np.clip(base.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+    rng = np.random.RandomState(13)
+    other = rng.randint(0, 256, size=(6, 32, 32), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_avi(base, codec="dib"))),
+            (1, bytearray(encode_avi(near, codec="mjpg", quant_scale=1))),
+            (2, bytearray(encode_avi(other, codec="dib"))),
+            (3, bytearray(fake_frames(base))),  # same pixels, FVID container
+        ],
+        "clip_id long, bytes binary",
+    )
+    meta = video_meta_table(df)
+    rows = {r["clip_id"]: r for r in meta.collect()}
+    assert rows[0]["n_frames"] == 6 and rows[0]["height"] == 32
+    assert rows[0]["vfp"] == rows[3]["vfp"]  # container-independent pixels
+    golden = frames_fingerprint64(base)
+    signed = golden - (1 << 64) if golden >= (1 << 63) else golden
+    assert rows[0]["vfp"] == signed
+
+    assigns = media_near_dup_assignments(meta, "vfp", "clip_id")
+    pairs = {(r["clip_id"], r["component"]) for r in assigns.collect()}
+    assert (1, 0) in pairs or (1, min(0, 3)) in pairs  # MJPEG near-dup clusters
+    assert all(cid != 2 for cid, _ in pairs)
+
+
+def test_video_table_containers(spark):
+    """synth video_table emits real AVI by default; 'mixed' ships the
+    exact-dup slot as FVID of the same pixels — fingerprints must agree
+    across containers (both lossless), so slots 0/1 still cluster."""
+    from text_dedup_spark.sources.avi import is_avi
+    from text_dedup_spark.sources.synth import video_table
+
+    clips = video_table(spark, 10, seed=7, container="mixed")
+    rows = {r["clip_id"]: bytes(r["bytes"]) for r in clips.collect()}
+    assert len(rows) == 10
+    avi_n = sum(is_avi(b) for b in rows.values())
+    fvid_n = sum(b[:4] == b"FVID" for b in rows.values())
+    assert avi_n == 8 and fvid_n == 2  # 2 groups x (4 AVI + 1 FVID slot)
+
+    meta = video_meta_table(clips.select("clip_id", "bytes"))
+    fp = {r["clip_id"]: r["vfp"] for r in meta.collect()}
+    for g in (0, 5):
+        anchor, dup = f"vid-{g:010d}", f"vid-{g + 1:010d}"
+        assert fp[anchor] == fp[dup]  # container-independent pixels

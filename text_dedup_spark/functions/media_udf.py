@@ -3,13 +3,16 @@
 The engine treats non-image media exactly like images (BASELINE.json
 input_hint pattern): an opaque ``binary`` payload column + typed metadata
 columns, processed by Arrow-batched pandas UDFs over ``mapInPandas``. The
-image path (functions/image_udf.py) is fully real (pure-numpy PNG codec);
-audio/video codecs are NOT available in this environment, so the decode
-step is stubbed two ways:
+image path (functions/image_udf.py) is fully real (pure-numpy PNG codec),
+and the most common ARCHIVAL formats of the other two modalities decode
+natively as well: RIFF/WAVE PCM audio (``decode_wav``, below) and RIFF/AVI
+video with uncompressed-DIB or MJPEG frames (sources/avi.py). Only
+*compressed* audio (mp3/ogg/flac) and inter-frame video codecs (H.26x/VPx)
+remain environment-gated:
 
 - ``decode_audio`` / ``decode_video_frames`` raise ``NotImplementedError``
-  unless a real backend (soundfile / av) is importable — the clearly-marked
-  stub the integration point expects;
+  for those unless a real backend (soundfile / av) is importable — the
+  clearly-marked stub the integration point expects;
 - ``fake_pcm`` / ``fake_frames`` provide a deterministic stand-in container
   (header + raw samples) so the Spark-side plumbing — schemas, batching,
   partitioning, UDF signatures — is exercised end-to-end by real tests.
@@ -152,7 +155,14 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_video_frames(data: bytes) -> np.ndarray:
-    """bytes -> uint8 (n, h, w) frames. Same stub contract as decode_audio."""
+    """bytes -> uint8 (n, h, w) frames. Dispatch mirrors decode_audio:
+    real AVI (pure Python: uncompressed DIB + MJPEG via the in-repo
+    baseline-JPEG decoder, sources/avi.py), the deterministic FVID test
+    container, then the import-gated external backend for other codecs."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..sources.avi import decode_avi
+
+        return decode_avi(data)
     if data[:4] == _FAKE_VIDEO_MAGIC:
         n, h, w = struct.unpack("<III", data[4:16])
         return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)
@@ -160,8 +170,8 @@ def decode_video_frames(data: bytes) -> np.ndarray:
         import av  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "real video decoding needs the 'av' backend; only the "
-            "deterministic FVID test container decodes in this environment"
+            "H.26x/VPx decoding needs the 'av' backend; AVI (DIB/MJPEG) "
+            "and the deterministic FVID container decode natively"
         ) from None
     raise NotImplementedError("real-codec path not wired")  # pragma: no cover
 

@@ -296,10 +296,28 @@ VIDEO_SCHEMA = StructType(
 )
 
 
-def video_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic video table (FVID container): groups of 5
-    (anchor, exact dup, near-dup [sub-aHash pixel jitter], 2 singletons)."""
+def video_table(
+    spark: SparkSession, n_rows: int, seed: int = 42, container: str = "avi"
+) -> DataFrame:
+    """Deterministic synthetic video table: groups of 5 (anchor, exact dup,
+    near-dup [sub-aHash pixel jitter], 2 singletons).
+
+    ``container``: 'avi' (default — real RIFF/AVI uncompressed-DIB bytes
+    through the pure-Python parser, sources/avi.py), 'fvid' (the
+    deterministic test container), or 'mixed' (AVI except the exact-dup
+    slot, which ships as FVID of the SAME pixels — both containers are
+    lossless, so the pair still fingerprints identically, proving the
+    per-row container dispatch inside one binary column)."""
     from ..functions.media_udf import fake_frames
+    from .avi import encode_avi
+
+    if container not in ("avi", "fvid", "mixed"):
+        raise ValueError(f"unknown video container {container!r}")
+
+    def pack(frames: np.ndarray, slot: int) -> bytes:
+        if container == "fvid" or (container == "mixed" and slot == 1):
+            return fake_frames(frames)
+        return encode_avi(frames, codec="dib")
 
     n_groups = (n_rows + 4) // 5
     nf, h, w = 8, 24, 24
@@ -316,7 +334,7 @@ def video_table(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
                     rows.append(
                         {
                             "clip_id": f"vid-{base_id + slot:010d}",
-                            "bytes": fake_frames(frames),
+                            "bytes": pack(frames, slot),
                             "n_frames": nf,
                             "h": h,
                             "w": w,
