@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "480000"))
+# 960k default per BENCH/SENSITIVITY.md: large enough that the constant
+# ~20-30s driver/serial floor stops dominating a 2-core leg (at 480k it
+# capped measurable efficiency at ~0.74 regardless of engine quality)
+SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_SCALING_IMAGES", "960000"))
 # N and 4N parallelism levels for the scaling evidence. 2/8 rather than 8/32:
 # this sandbox VM's effective capacity for a mixed JVM+Python-worker workload
 # saturates around ~10 hardware threads (measured: pure-python scales to 32
@@ -391,6 +394,12 @@ modality. This engine at local[{n4}] (median pair):
 the reference per core**, while each row also carries image bytes and runs
 THREE dedup modalities (exact sha256 + caption MinHash-LSH + pixel-derived
 phash Hamming) plus the merged connected-components pass.
+
+Companion evidence (separate files so this writer cannot clobber them):
+hot-bucket skew bound `BENCH/SKEW.md`; labelled-duplicate P/R/F1
+`BENCH/QUALITY.md`; pure-kernel component scaling `BENCH/COMPONENTS.md`;
+corpus-size sensitivity `BENCH/SENSITIVITY.md` (serial-overhead model:
+why efficiency rises with rows/core toward the ceiling).
 """)
 
 
@@ -615,8 +624,10 @@ def main() -> None:
         print(json.dumps(skew_bench()))
     elif args.microbench:
         mb = kernel_microbench(SCALING_N, SCALING_N * 4)
+        # separate file: BASELINE.md is rewritten wholesale by --scaling,
+        # which silently dropped this section once (round 3)
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH", "BASELINE.md"), "a") as f:
+                               "BENCH", "COMPONENTS.md"), "a") as f:
             f.write("\n## Component-level scaling (pure kernels, pinned "
                     f"multiprocessing, N={SCALING_N} vs 4N={SCALING_N*4})\n\n"
                     "| kernel | tasks/s @N | tasks/s @4N | efficiency |\n|---|---|---|---|\n")
