@@ -9,10 +9,12 @@ Reference CLI surface (utils/add_args.py + per-script mains):
   simhash.py                  -> ``simhash``
   suffix_array.py             -> ``suffix``
 
-Usage:
-  spark-submit --py-files text_dedup_spark.zip -m text_dedup_spark.cli \\
+Usage (cluster — spark-submit takes a script path, not ``-m``; build the
+archive with ``python tools/make_pyfiles.py``):
+  spark-submit --py-files dist/text_dedup_spark.zip tools/submit_cli.py \\
       minhash --input /path/in.parquet --output /path/out --column caption \\
       --ngram_size 5 --num_perm 64 --threshold 0.7
+Local shorthand: ``python -m text_dedup_spark.cli <subcommand> ...``
 
 Inputs/outputs are parquet paths (an Iceberg table name works anywhere a
 path does when the session has an Iceberg catalog — sources/catalog.py).
