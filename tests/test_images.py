@@ -365,3 +365,31 @@ def test_progressive_jpeg_flag_policy_end_to_end(spark):
 
     with _pytest.raises(Exception):
         image_dedup(df, phash_source="pixels").kept.count()
+
+
+def test_corrupt_jpeg_never_escapes_the_flag_seam():
+    """Truncations/bit-flips of a real JPEG stream raise ONLY ValueError /
+    NotImplementedError from decode_image (low-level IndexError/
+    struct.error normalized), so try_decode_image's catch is closed — a
+    corrupt row can never become a task-killing stray exception."""
+    import numpy as np
+
+    from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+    from text_dedup_spark.sources.png import decode_image, try_decode_image
+
+    img = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+    blob = encode_jpeg_baseline(img)
+    for cut in range(2, len(blob), 13):  # every truncation class
+        try:
+            decode_image(blob[:cut], "jpeg")
+        except (ValueError, NotImplementedError):
+            pass
+        assert try_decode_image(blob[:cut], "jpeg") is None or cut > len(blob) - 4
+    for i in range(0, len(blob), 29):  # single-byte corruption sweep
+        b = bytearray(blob)
+        b[i] ^= 0xFF
+        try:
+            out = decode_image(bytes(b), "jpeg")
+        except (ValueError, NotImplementedError):
+            continue
+        assert out.shape[0] == 32  # corrupted-but-decodable is acceptable

@@ -1,6 +1,8 @@
-"""Audio/video opaque-binary plumbing tests: deterministic fake containers
-drive the real Spark-side path (mapInPandas schema, batching, fingerprint,
-SimHash clustering); real codec decode stays stubbed (NotImplementedError)."""
+"""Audio/video opaque-binary plumbing tests. Real archival codecs decode
+natively (RIFF/WAV PCM, RIFF/AVI DIB+MJPEG — pure Python); deterministic
+fake containers (FPCM/FVID) drive the same Spark-side path (mapInPandas
+schema, batching, fingerprint, SimHash clustering); compressed/inter-frame
+codecs stay import-gated (NotImplementedError -> flag policy)."""
 
 from __future__ import annotations
 
@@ -323,3 +325,38 @@ def test_video_table_containers(spark):
     for g in (0, 5):
         anchor, dup = f"vid-{g:010d}", f"vid-{g + 1:010d}"
         assert fp[anchor] == fp[dup]  # container-independent pixels
+
+
+def test_media_undecodable_flag_policy(spark):
+    """Corrupt/unsupported media rows become decode_ok=false (zeroed meta)
+    under undecodable='flag' — never a task failure; default still raises.
+    Mirrors image_dedup(undecodable='flag')."""
+    from text_dedup_spark.functions.media_udf import encode_wav
+    from text_dedup_spark.sources.avi import encode_avi
+
+    good_a = encode_wav((np.arange(4000) % 251).astype(np.int16), rate=8000)
+    rows_a = [
+        (0, bytearray(good_a)),
+        (1, bytearray(good_a[:30])),          # truncated WAV -> ValueError
+        (2, bytearray(b"OggS" + b"\x00" * 40)),  # compressed -> NotImplementedError
+    ]
+    df_a = spark.createDataFrame(rows_a, "clip_id long, bytes binary")
+    meta = audio_meta_table(df_a, undecodable="flag")
+    got = {r["clip_id"]: r for r in meta.collect()}
+    assert got[0]["decode_ok"] and got[0]["sample_rate"] == 8000
+    assert not got[1]["decode_ok"] and got[1]["n_samples"] == 0
+    assert not got[2]["decode_ok"]
+    with pytest.raises(Exception):
+        audio_meta_table(df_a).collect()  # default policy still raises
+
+    good_v = encode_avi(_smooth_frames(2, 16, 16), codec="dib")
+    rows_v = [
+        (0, bytearray(good_v)),
+        (1, bytearray(good_v[: len(good_v) // 2])),  # truncated AVI
+        (2, bytearray(b"\x00\x00\x00 ftypisom" + b"\x00" * 20)),  # mp4 -> gated
+    ]
+    df_v = spark.createDataFrame(rows_v, "clip_id long, bytes binary")
+    got_v = {r["clip_id"]: r for r in video_meta_table(df_v, undecodable="flag").collect()}
+    assert got_v[0]["decode_ok"] and got_v[0]["n_frames"] == 2
+    assert not got_v[1]["decode_ok"] and got_v[1]["n_frames"] == 0
+    assert not got_v[2]["decode_ok"]

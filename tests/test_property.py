@@ -175,3 +175,48 @@ def test_restore_and_merge_total_is_sum_of_ranges(data, k):
     for (s, e), ranges in zip(bounds, per_doc):
         for a, b in ranges:
             assert 0 <= a < b <= e - s
+
+
+# --- AVI container (sources/avi.py) ------------------------------------------
+
+
+@given(
+    st.integers(1, 3),        # frames
+    st.integers(1, 24),       # height
+    st.integers(1, 25),       # width (hits every stride-padding residue)
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_dib_round_trip_property(n, h, w, seed):
+    """Lossless DIB round-trip at arbitrary geometries — including 1-pixel
+    rows/cols and every row-stride padding class (w*3 mod 4)."""
+    import numpy as np
+
+    from text_dedup_spark.sources.avi import decode_avi, encode_avi
+
+    rng = np.random.RandomState(seed % (1 << 31))
+    frames = rng.randint(0, 256, size=(n, h, w), dtype=np.uint8)
+    out = decode_avi(encode_avi(frames, codec="dib"))
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, frames)
+
+
+@given(st.binary(max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_avi_decode_never_hangs_on_garbage(data):
+    """Arbitrary bytes either raise cleanly (ValueError /
+    NotImplementedError) or decode — never loop or crash the interpreter.
+    The operator layer maps the raises to decode_ok=false rows."""
+    import pytest as _pytest
+
+    from text_dedup_spark.sources.avi import decode_avi
+
+    blob = b"RIFF" + data  # steer toward the parser's deeper branches
+    try:
+        decode_avi(blob)
+    except (ValueError, NotImplementedError, IndexError):
+        pass
+    try:
+        decode_avi(data)
+    except (ValueError, NotImplementedError, IndexError):
+        pass

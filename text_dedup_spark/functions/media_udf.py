@@ -138,12 +138,21 @@ def encode_wav(samples: np.ndarray, rate: int = 16000, n_channels: int = 1) -> b
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """bytes -> (int16 mono samples, sample_rate). Dispatch: real WAV (pure
     Python, always available), the deterministic FPCM test container, then
-    the import-gated external backend for compressed formats."""
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        return decode_wav(data)
-    if data[:4] == _FAKE_AUDIO_MAGIC:
-        rate, n = struct.unpack("<II", data[4:12])
-        return np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n], rate
+    the import-gated external backend for compressed formats.
+
+    Error contract (same as sources/png.decode_image): ValueError for
+    corrupt/truncated streams — low-level parse crashes normalized here —
+    NotImplementedError for codecs this environment cannot decode."""
+    try:
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return decode_wav(data)
+        if data[:4] == _FAKE_AUDIO_MAGIC:
+            rate, n = struct.unpack("<II", data[4:12])
+            return np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n], rate
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt audio stream: {type(e).__name__}: {e}") from e
     try:  # pragma: no cover - backend not in this environment
         import soundfile  # noqa: F401
     except ImportError:
@@ -159,13 +168,18 @@ def decode_video_frames(data: bytes) -> np.ndarray:
     real AVI (pure Python: uncompressed DIB + MJPEG via the in-repo
     baseline-JPEG decoder, sources/avi.py), the deterministic FVID test
     container, then the import-gated external backend for other codecs."""
-    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-        from ..sources.avi import decode_avi
+    try:
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from ..sources.avi import decode_avi
 
-        return decode_avi(data)
-    if data[:4] == _FAKE_VIDEO_MAGIC:
-        n, h, w = struct.unpack("<III", data[4:16])
-        return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)
+            return decode_avi(data)
+        if data[:4] == _FAKE_VIDEO_MAGIC:
+            n, h, w = struct.unpack("<III", data[4:16])
+            return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt video stream: {type(e).__name__}: {e}") from e
     try:  # pragma: no cover
         import av  # noqa: F401
     except ImportError:
@@ -227,23 +241,46 @@ VIDEO_META = StructType(
 )
 
 
-def audio_meta_table(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+def audio_meta_table(
+    df: DataFrame, bytes_col: str = "bytes", undecodable: str = "raise"
+) -> DataFrame:
     """mapInPandas: decode + meta + fingerprint per clip. Schema = input
     columns minus payload, plus AUDIO_META fields (payload dropped early —
-    never shuffle opaque bytes you no longer need)."""
+    never shuffle opaque bytes you no longer need).
+
+    ``undecodable``: 'raise' (default — corrupt bytes fail the task, for
+    trusted corpora) or 'flag' (same policy as image_dedup: the row gets
+    decode_ok=false with zeroed meta and is excluded from fingerprint
+    clustering downstream — a bad row never kills a 100-TB job)."""
+    if undecodable not in ("raise", "flag"):
+        raise ValueError(f"unknown undecodable policy {undecodable!r}")
+    flag = undecodable == "flag"
+    from pyspark.sql.types import BooleanType
+
     out_fields = [f for f in df.schema.fields if f.name != bytes_col]
-    schema = StructType(out_fields + list(AUDIO_META.fields))
+    schema = StructType(
+        out_fields
+        + list(AUDIO_META.fields)
+        + ([StructField("decode_ok", BooleanType())] if flag else [])
+    )
     keep = [f.name for f in out_fields]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # decode is inherently per-clip; iterate raw values (zip over
             # .values) — no pandas Series-per-row materialization
-            rates = np.empty(len(pdf), dtype=np.int32)
-            counts = np.empty(len(pdf), dtype=np.int64)
-            fps = np.empty(len(pdf), dtype=np.int64)
+            rates = np.zeros(len(pdf), dtype=np.int32)
+            counts = np.zeros(len(pdf), dtype=np.int64)
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            oks = np.ones(len(pdf), dtype=bool)
             for i, data in enumerate(pdf[bytes_col].values):
-                samples, rate = decode_audio(bytes(data))
+                try:
+                    samples, rate = decode_audio(bytes(data))
+                except (ValueError, NotImplementedError):
+                    if not flag:
+                        raise
+                    oks[i] = False
+                    continue
                 rates[i] = rate
                 counts[i] = len(samples)
                 fps[i] = _signed64(audio_fingerprint64(samples, rate))
@@ -252,27 +289,50 @@ def audio_meta_table(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             out["n_samples"] = counts
             out["duration_sec"] = np.where(rates > 0, counts / np.maximum(rates, 1), 0.0)
             out["afp"] = fps
+            if flag:
+                out["decode_ok"] = oks
             yield out
 
     return df.mapInPandas(process, schema)
 
 
 def video_meta_table(
-    df: DataFrame, bytes_col: str = "bytes", sample_every: int = 1
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    sample_every: int = 1,
+    undecodable: str = "raise",
 ) -> DataFrame:
-    """mapInPandas: frame-sample (every Nth frame) + meta + fingerprint."""
+    """mapInPandas: frame-sample (every Nth frame) + meta + fingerprint.
+    ``undecodable``: 'raise' or 'flag' — same contract as
+    audio_meta_table."""
+    if undecodable not in ("raise", "flag"):
+        raise ValueError(f"unknown undecodable policy {undecodable!r}")
+    flag = undecodable == "flag"
+    from pyspark.sql.types import BooleanType
+
     out_fields = [f for f in df.schema.fields if f.name != bytes_col]
-    schema = StructType(out_fields + list(VIDEO_META.fields))
+    schema = StructType(
+        out_fields
+        + list(VIDEO_META.fields)
+        + ([StructField("decode_ok", BooleanType())] if flag else [])
+    )
     keep = [f.name for f in out_fields]
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            nfr = np.empty(len(pdf), dtype=np.int32)
-            hs = np.empty(len(pdf), dtype=np.int32)
-            ws = np.empty(len(pdf), dtype=np.int32)
-            fps = np.empty(len(pdf), dtype=np.int64)
+            nfr = np.zeros(len(pdf), dtype=np.int32)
+            hs = np.zeros(len(pdf), dtype=np.int32)
+            ws = np.zeros(len(pdf), dtype=np.int32)
+            fps = np.zeros(len(pdf), dtype=np.int64)
+            oks = np.ones(len(pdf), dtype=bool)
             for i, data in enumerate(pdf[bytes_col].values):
-                frames = decode_video_frames(bytes(data))
+                try:
+                    frames = decode_video_frames(bytes(data))
+                except (ValueError, NotImplementedError):
+                    if not flag:
+                        raise
+                    oks[i] = False
+                    continue
                 nfr[i], hs[i], ws[i] = frames.shape
                 fps[i] = _signed64(frames_fingerprint64(frames[::sample_every]))
             out = pdf[keep].copy()
@@ -280,6 +340,8 @@ def video_meta_table(
             out["height"] = hs
             out["width"] = ws
             out["vfp"] = fps
+            if flag:
+                out["decode_ok"] = oks
             yield out
 
     return df.mapInPandas(process, schema)

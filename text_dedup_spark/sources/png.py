@@ -3,10 +3,9 @@
 The container has no image libraries (no PIL), so the fidelity path
 (BASELINE.json: "decoded-pixel allclose / PSNR>=40dB") uses this codec:
 8-bit RGB, filter type 0, one IDAT chunk — enough to round-trip the
-synthetic corpus bit-exactly. Real JPEG decode is STUBBED (decode_image
-raises NotImplementedError for actual JPEG bytes); the synthetic 'jpeg'
-rows simulate lossy quantization deterministically instead (sources/synth.py)
-so the PSNR machinery is exercised for real.
+synthetic corpus bit-exactly. Real baseline JPEG decodes via the sibling
+pure-numpy codec (sources/jpeg.py, round 2); 'jpeg_sim' keeps the legacy
+synthetic-lossy PNG container for fixture compatibility.
 """
 
 from __future__ import annotations
@@ -92,13 +91,27 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Typed decode entry point for the multimodal column.
 
     PNG and baseline JPEG are both real pure-numpy codecs ('jpeg_sim' is
-    the legacy synthetic-lossy PNG container, kept for fixture compat)."""
-    if fmt in ("png", "jpeg_sim"):
-        return decode_png(data)
-    if fmt == "jpeg":
-        from .jpeg import decode_jpeg_baseline
+    the legacy synthetic-lossy PNG container, kept for fixture compat).
 
-        return decode_jpeg_baseline(data)
+    Error contract: ValueError for any corrupt/truncated stream,
+    NotImplementedError for valid-but-unsupported codec features
+    (progressive/arithmetic JPEG). Low-level parse crashes (IndexError /
+    struct.error / zlib.error from decoders walking truncated buffers) are
+    normalized to ValueError here so the operator-level flag policy
+    (try_decode_image -> decode_ok=false) can rely on a closed exception
+    set — a corrupt row must never become a task-killing stray exception
+    on a 100-TB job."""
+    try:
+        if fmt in ("png", "jpeg_sim"):
+            return decode_png(data)
+        if fmt == "jpeg":
+            from .jpeg import decode_jpeg_baseline
+
+            return decode_jpeg_baseline(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt {fmt} stream: {type(e).__name__}: {e}") from e
     raise ValueError(f"unknown image format {fmt!r}")
 
 
