@@ -128,13 +128,52 @@ def main() -> None:
         fmt(pruned),
     ))
 
+    from text_dedup_spark.operators.bloom import (
+        build_bloom_sharded,
+        flag_might_contain_sharded,
+    )
+
+    sb = build_bloom_sharded(hashes, "__h__", expected=400, fpp=0.01, n_shards=4)
+    flagged = flag_might_contain_sharded(
+        docs.where(F.col("doc_id") % 3 == 0).withColumn(
+            "__h__", F.md5(F.col("text"))
+        ),
+        "__h__",
+        sb,
+    )
+    sections.append((
+        "Sharded Bloom (100-TB path): build + cogroup probe",
+        "Build side: Catalyst pmod(xxhash64) shard key + positions, ONE "
+        "Exchange hashpartitioning(__shard__) into a MapInPandas that "
+        "emits one (shard, bits) row per shard — no driver merge, no "
+        "broadcast anywhere in the plan. Probe side: "
+        "FlatMapCoGroupsInPandas on __shard__ — each task holds exactly "
+        "one shard's bit array (m_shard/8 bytes) against that shard's "
+        "probe rows; memory per task is set by n_shards, independent of "
+        "total history size. (The extra Exchange under HashAggregate is "
+        "history_hashes' distinct — fixture prep, not the operator; the "
+        "post-MapInPandas Exchange moves only n_shards sketch rows.)",
+        fmt(flagged),
+    ))
+
     out = ["# PLANS — physical-plan evidence (`explain(\"formatted\")`)",
            "", "Generated by tools/dump_plans.py at sf0.01; regenerate after "
-           "operator changes.", ""]
+           "operator changes. Manually-curated sections below the marker "
+           "line survive regeneration.", ""]
     for title, why, plan in sections:
         out += [f"## {title}", "", f"_{why}_", "", "```", plan.rstrip(), "```", ""]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    MARK = "<!-- manual sections below: preserved by tools/dump_plans.py -->"
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if MARK in prev:
+            manual = prev[prev.index(MARK):]
+    with open(path, "w") as f:
         f.write("\n".join(out))
+        f.write("\n" + (manual or MARK + "\n"))
     print("wrote PLANS.md")
     spark.stop()
 
