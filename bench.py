@@ -107,7 +107,9 @@ def run_queries() -> dict:
     }
 
 
-def scaling_worker(cpus: int, n_images: int, phase: str = "full") -> dict:
+def scaling_worker(
+    cpus: int, n_images: int, phase: str = "full", deploy: str = "threads"
+) -> dict:
     """The north-star job: synthesize the image+caption table, run the full
     three-modality dedup (exact bytes + caption MinHash + phash SimHash) and
     materialize the survivor count. Identical input both runs.
@@ -116,7 +118,16 @@ def scaling_worker(cpus: int, n_images: int, phase: str = "full") -> dict:
     stage of the SAME job (pixel decode + phash + sha256 + caption MinHash
     banding — per-row compute, zero shuffle): its measured N->4N efficiency
     IS this machine's hardware ceiling for the identical workload, the
-    denominator of the ceiling-normalized pipeline efficiency."""
+    denominator of the ceiling-normalized pipeline efficiency.
+
+    ``deploy='threads'`` is the sandbox default (local[cpus] — one JVM,
+    task threads). ``deploy='executors'`` runs the SAME job on a REAL
+    multi-executor deployment: ``local-cluster[cpus/2, 2, mem]`` launches
+    cpus/2 SEPARATE executor JVMs (2 cores, own heap, socket shuffles,
+    cluster scheduler), with the package shipped via spark.submit.pyFiles
+    from the deterministic deploy zip (tools/make_pyfiles.py) — i.e. the
+    north rule's 'N vs 4N executors via spark-submit --py-files' measured
+    literally rather than via the thread-count proxy."""
     from pyspark import StorageLevel
 
     from text_dedup_spark.config import MinHashConfig, SimHashConfig
@@ -131,10 +142,24 @@ def scaling_worker(cpus: int, n_images: int, phase: str = "full") -> dict:
     # bench) keeps AQE + skew-join ON.
     from text_dedup_spark.sources.session import build_session
 
+    extra = {"spark.sql.adaptive.enabled": "false"}
+    if deploy == "executors":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from make_pyfiles import build as build_zip
+
+        zip_path = build_zip("/tmp/spark_graft_pyfiles/text_dedup_spark.zip")
+        n_exec = max(1, cpus // 2)
+        master = f"local-cluster[{n_exec},2,4608]"
+        extra.update({
+            "spark.executor.memory": "4g",
+            "spark.submit.pyFiles": zip_path,
+        })
+    else:
+        master = f"local[{cpus}]"
     spark = build_session(
-        master=f"local[{cpus}]", shuffle_partitions=cpus,
+        master=master, shuffle_partitions=cpus,
         app_name="text-dedup-scaling",
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf=extra,
     )
     imgs = images_table(spark, n_images, seed=42).persist(StorageLevel.MEMORY_AND_DISK)
     n = imgs.count()  # materialize generation OUTSIDE the timed window
@@ -191,6 +216,7 @@ def scaling_worker(cpus: int, n_images: int, phase: str = "full") -> dict:
     spark.stop()
     return {
         "cpus": cpus,
+        "deploy": deploy,
         "images": n,
         "kept": kept,
         "wall_sec": round(wall, 3),
@@ -198,7 +224,7 @@ def scaling_worker(cpus: int, n_images: int, phase: str = "full") -> dict:
     }
 
 
-def run_scaling(n_images: int) -> dict:
+def run_scaling(n_images: int, deploy: str = "threads") -> dict:
     """PAIRED-INTERLEAVED protocol: this VM's absolute speed drifts by
     +-25% over minutes (hypervisor/thermal phases), which makes a
     best-of-N-per-level ratio swing wildly (observed 0.66..0.88 on
@@ -214,7 +240,8 @@ def run_scaling(n_images: int) -> dict:
         out = subprocess.run(
             ["taskset", "-c", f"0-{cpus - 1}",
              sys.executable, os.path.abspath(__file__), "--scaling-worker",
-             str(cpus), "--images", str(n_images), "--phase", phase],
+             str(cpus), "--images", str(n_images), "--phase", phase,
+             "--deploy", deploy],
             capture_output=True, text=True, check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -268,8 +295,12 @@ def run_scaling(n_images: int) -> dict:
             accepted.append(p)
     headline_pool = accepted if accepted else attempts
     med = sorted(headline_pool, key=lambda p: p["eff"])[len(headline_pool) // 2]
+    # exec mode: n/n4 are total cores; the deployment unit is 2-core
+    # executor JVMs, so the label counts executors (1 vs 4 = N vs 4N)
+    unit_word = "executors" if deploy == "executors" else "cores"
+    n_lab, n4_lab = (max(1, n // 2), max(1, n4 // 2)) if deploy == "executors" else (n, n4)
     summary = {
-        "metric": f"scaling_efficiency_{n}_to_{n4}_cores",
+        "metric": f"scaling_efficiency_{n_lab}_to_{n4_lab}_{unit_word}",
         "value": med["eff"],
         "unit": "ratio",
         "queries": {
@@ -286,8 +317,64 @@ def run_scaling(n_images: int) -> dict:
         },
         "sf": n_images,
     }
-    _write_bench_md_pairs(attempts, accepted, med, n_images, n, n4, gate)
+    if deploy == "executors":
+        _write_bench_md_exec(attempts, accepted, med, n_images, n_lab, n4_lab, gate)
+    else:
+        _write_bench_md_pairs(attempts, accepted, med, n_images, n, n4, gate)
     return summary
+
+
+def _write_bench_md_exec(attempts, accepted, med, n_images, ne, ne4, gate) -> None:
+    """Executor-mode evidence goes to its own file: BENCH/BASELINE.md keeps
+    the cores-mode headline, this documents the same protocol on REAL
+    separate executor JVMs (local-cluster)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "EXECUTORS.md")
+    pairs = accepted if accepted else attempts
+    rows = "\n".join(
+        f"| {i} | {p['ceil_wall_n']} / {p['ceil_wall_4n']} | {p['ceil_eff']} | "
+        f"{p['wall_n']} / {p['wall_4n']} | **{p['eff']}** | {p['norm_eff']} | {p['kept_equal']} |"
+        for i, p in enumerate(pairs)
+    )
+    drift_rows = "\n".join(
+        f"| {i} | {p['ceil_eff']} | {p['eff']} | {p['norm_eff']} | "
+        f"{'ACCEPTED' if p['healthy_phase'] else 'rejected (throttled phase)'} |"
+        for i, p in enumerate(attempts)
+    )
+    with open(path, "w") as f:
+        f.write(f"""# BENCH — N vs 4N EXECUTORS (real multi-executor deployment)
+
+Same job, same {n_images}-row input, same paired-interleaved protocol and
+symmetric healthy-phase gate as BENCH/BASELINE.md — but instead of the
+local[k] thread proxy, each leg runs on Spark's `local-cluster[k,2,mem]`:
+**{ne} vs {ne4} SEPARATE 2-core executor JVMs** (own heaps, socket-level
+shuffle fetches, cluster-scheduler task dispatch, python workers per
+executor), with the package shipped to executors via
+`spark.submit.pyFiles` from the deterministic deploy zip
+(tools/make_pyfiles.py) — the north rule's "spark-submit --py-files at N
+and 4N executors" measured literally. Cores are taskset-pinned to the
+same 2/8-core budgets as the cores-mode run, so the two tables are
+directly comparable: the executor table adds JVM-boundary serialization +
+socket shuffle costs that the single-JVM proxy cannot see.
+
+| pair | ceiling walls {ne}/{ne4} exec (s) | ceiling eff | pipeline walls {ne}/{ne4} exec (s) | pipeline eff | normalized | survivors equal |
+|---|---|---|---|---|---|---|
+{rows}
+
+**Scaling efficiency ({ne} -> {ne4} executors), median
+{'HEALTHY-PHASE ' if accepted else ''}pair = {med['eff']}**
+(north-rule target >= 0.8{', MET' if med['eff'] >= 0.8 else ''}).
+Pipeline samples {sorted(p['eff'] for p in pairs)}, ceilings
+{sorted(p['ceil_eff'] for p in pairs)}, normalized
+{sorted(p['norm_eff'] for p in pairs)}.
+Survivors identical at both fleet sizes in every pair:
+{all(p['kept_equal'] for p in pairs)} (survivors = {pairs[0]['kept']}).
+
+| attempt | ceiling eff | pipeline eff | normalized | verdict |
+|---|---|---|---|---|
+{drift_rows}
+
+Throughput at {ne4} executors (median pair): {med['tp_4n']} img/s.
+""")
 
 
 def _write_bench_md_pairs(attempts, accepted, med, n_images, n, n4, gate) -> None:
@@ -616,10 +703,13 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--images", type=int, default=SCALING_IMAGES)
     ap.add_argument("--phase", default="full", choices=["full", "parallel"])
+    ap.add_argument("--deploy", default="threads", choices=["threads", "executors"])
     args = ap.parse_args()
 
     if args.scaling_worker:
-        print(json.dumps(scaling_worker(args.scaling_worker, args.images, args.phase)))
+        print(json.dumps(
+            scaling_worker(args.scaling_worker, args.images, args.phase, args.deploy)
+        ))
     elif args.skew:
         print(json.dumps(skew_bench()))
     elif args.microbench:
@@ -650,7 +740,7 @@ def main() -> None:
             )
         print(json.dumps(mb))
     elif args.scaling:
-        print(json.dumps(run_scaling(args.images)))
+        print(json.dumps(run_scaling(args.images, args.deploy)))
     else:
         print(json.dumps(run_queries()))
 

@@ -157,3 +157,62 @@ def test_staged_features_flag_policy(spark, tmp_path):
     assert ("p0" in kept) != ("p1" in kept)
     assert {f"g{i}" for i in range(5)} <= kept
     assert kept_n + removed_n == 7
+
+
+def test_image_dedup_identical_across_deployments():
+    """The north-star job returns the SAME survivors on a REAL
+    multi-executor deployment (local-cluster: separate executor JVMs,
+    socket shuffles, package shipped via spark.submit.pyFiles from the
+    deploy zip) as on the single-JVM local[k] proxy — deployment topology
+    cannot change answers. Uses its own sessions (not the shared fixture)
+    because master/pyFiles are session-level."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import sys
+sys.path.insert(0, %(repo)r)
+from text_dedup_spark.sources.session import build_session
+from text_dedup_spark.config import MinHashConfig, SimHashConfig
+from text_dedup_spark.plans.image_pipeline import image_dedup
+from text_dedup_spark.sources.synth import images_table
+
+spark = build_session(master=%(master)r, shuffle_partitions=4,
+                      app_name="xdeploy", extra_conf=%(conf)r)
+imgs = images_table(spark, 4000, seed=11).persist()
+imgs.count()
+res = image_dedup(imgs, MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7),
+                  SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram=3),
+                  phash_source="pixels", hot_threshold=50_000)
+ids = sorted(r["image_id"] for r in res.kept.select("image_id").collect())
+import hashlib
+print("KEPT", len(ids), hashlib.sha256("|".join(ids).encode()).hexdigest())
+spark.stop()
+"""
+
+    def run(master, conf):
+        out = subprocess.run(
+            [sys.executable, "-c", script % {"repo": repo, "master": master, "conf": conf}],
+            capture_output=True, text=True, check=True, cwd=repo,
+        )
+        return [l for l in out.stdout.splitlines() if l.startswith("KEPT")][-1]
+
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from make_pyfiles import build as build_zip
+    finally:
+        sys.path.pop(0)
+    zip_path = build_zip("/tmp/spark_graft_pyfiles/text_dedup_spark_test.zip")
+
+    local = run("local[4]", {"spark.sql.adaptive.enabled": "false"})
+    cluster = run(
+        "local-cluster[2,2,3072]",
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.executor.memory": "2g",
+            "spark.submit.pyFiles": zip_path,
+        },
+    )
+    assert local == cluster  # same survivor ids, same order, same hash
