@@ -149,9 +149,13 @@ def scaling_worker(
 
         zip_path = build_zip("/tmp/spark_graft_pyfiles/text_dedup_spark.zip")
         n_exec = max(1, cpus // 2)
-        master = f"local-cluster[{n_exec},2,4608]"
+        # 8g/executor: the N=1 leg holds the whole persisted input in ONE
+        # executor (threads mode spreads it across the shared 8g driver
+        # JVM); 4g OOMed the 960k-row leg. Worker-JVM allocation must
+        # exceed executor.memory + overhead.
+        master = f"local-cluster[{n_exec},2,9216]"
         extra.update({
-            "spark.executor.memory": "4g",
+            "spark.executor.memory": "8g",
             "spark.submit.pyFiles": zip_path,
         })
     else:
@@ -242,8 +246,14 @@ def run_scaling(n_images: int, deploy: str = "threads") -> dict:
              sys.executable, os.path.abspath(__file__), "--scaling-worker",
              str(cpus), "--images", str(n_images), "--phase", phase,
              "--deploy", deploy],
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
         )
+        if out.returncode != 0:
+            # surface the leg's failure instead of a bare CalledProcessError
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling leg failed (cpus={cpus}, phase={phase}, deploy={deploy})"
+            )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
