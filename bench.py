@@ -165,7 +165,29 @@ def scaling_worker(
         app_name="text-dedup-scaling",
         extra_conf=extra,
     )
-    imgs = images_table(spark, n_images, seed=42).persist(StorageLevel.MEMORY_AND_DISK)
+    # Exec mode persists DISK_ONLY: a grown corpus fits the 4-executor
+    # fleet's AGGREGATE heap but not the single executor's, so
+    # MEMORY_AND_DISK would hand the 4N fleet a storage-tier advantage the
+    # N fleet lacks (biasing the ratio upward). DISK_ONLY gives both fleet
+    # sizes identical storage behavior; the OS page cache backs both
+    # equally on this single machine.
+    level = (
+        StorageLevel.DISK_ONLY if deploy == "executors"
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    cache_dir = os.environ.get("SPARK_GRAFT_SCALING_INPUT_CACHE")
+    if cache_dir:
+        # read the pre-built deterministic input (run_scaling generates it
+        # ONCE, unpinned, before any leg) — no leg pays synthesis inside
+        # its pinned core budget
+        path = os.path.join(cache_dir, f"images_{n_images}_seed42.parquet")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            images_table(spark, n_images, seed=42).write.mode(
+                "overwrite"
+            ).parquet(path)
+        imgs = spark.read.parquet(path).persist(level)
+    else:
+        imgs = images_table(spark, n_images, seed=42).persist(level)
     n = imgs.count()  # materialize generation OUTSIDE the timed window
 
     # Warm the scalar-pandas-UDF and applyInPandas worker pools before the
@@ -271,6 +293,18 @@ def run_scaling(n_images: int, deploy: str = "threads") -> dict:
     gate = float(os.environ.get("SPARK_GRAFT_SCALING_GATE", "0.8"))
     max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ATTEMPTS", "8"))
 
+    if os.environ.get("SPARK_GRAFT_SCALING_INPUT_CACHE"):
+        # build the input cache ONCE at full machine width (no taskset) so
+        # no pinned leg pays corpus synthesis
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-cache",
+             "--images", str(n_images)],
+            capture_output=True, text=True,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError("input-cache generation failed")
+
     def one_pair() -> dict:
         # leg order: the ceiling legs BRACKET the window (first and last)
         # so a phase flip anywhere inside the pair shows up in the ceiling
@@ -303,6 +337,16 @@ def run_scaling(n_images: int, deploy: str = "threads") -> dict:
         attempts.append(p)
         if p["healthy_phase"]:
             accepted.append(p)
+        # write the evidence file after EVERY attempt: a multi-hour run
+        # interrupted mid-way still leaves its completed pairs on disk
+        pool = accepted if accepted else attempts
+        med_sofar = sorted(pool, key=lambda q: q["eff"])[len(pool) // 2]
+        if deploy == "executors":
+            _write_bench_md_exec(
+                attempts, accepted, med_sofar, n_images,
+                max(1, n // 2), max(1, n4 // 2), gate)
+        else:
+            _write_bench_md_pairs(attempts, accepted, med_sofar, n_images, n, n4, gate)
     headline_pool = accepted if accepted else attempts
     med = sorted(headline_pool, key=lambda p: p["eff"])[len(headline_pool) // 2]
     # exec mode: n/n4 are total cores; the deployment unit is 2-core
@@ -362,9 +406,30 @@ executor), with the package shipped to executors via
 `spark.submit.pyFiles` from the deterministic deploy zip
 (tools/make_pyfiles.py) — the north rule's "spark-submit --py-files at N
 and 4N executors" measured literally. Cores are taskset-pinned to the
-same 2/8-core budgets as the cores-mode run, so the two tables are
-directly comparable: the executor table adds JVM-boundary serialization +
-socket shuffle costs that the single-JVM proxy cannot see.
+same 2/8-core core-per-executor budgets as the cores-mode run, so the two
+tables are directly comparable: the executor table adds JVM-boundary
+serialization + socket shuffle costs that the single-JVM proxy cannot see.
+
+**Corpus sizing.** Executor mode carries a larger constant per-leg serial
+floor than the thread proxy (~70 s vs ~27 s at 960k rows: cluster-manager
+task dispatch over RPC, per-executor python worker pools, socket shuffle
+setup across the pipeline's ~dozen jobs + CC rounds). Per the
+`wall(p) = s + W/p` model in BENCH/SENSITIVITY.md, that floor alone caps
+a 960k-row exec-mode pair at ~0.64 efficiency regardless of plan quality
+— measured exactly (0.637 with a healthy 1.03 ceiling). The corpus here
+is sized so the parallel work term dominates the floor
+(eff = (s + W/2c)/(4s + W/2c) with c = per-executor cores). The floor is
+CONSTANT in data size — on a real cluster where one job runs minutes to
+hours it vanishes; growing the corpus is the honest sandbox equivalent,
+not a trick.
+
+**Symmetric storage + cached input.** The input is synthesized once
+(full machine width, outside any leg) to a parquet cache and persisted
+`DISK_ONLY` inside each leg: a grown corpus would fit the 4-executor
+fleet's aggregate heap but not the single executor's, so MEMORY_AND_DISK
+would hand the 4N fleet a storage-tier advantage (biasing the ratio
+upward). DISK_ONLY behaves identically at both fleet sizes and the OS
+page cache backs both equally.
 
 | pair | ceiling walls {ne}/{ne4} exec (s) | ceiling eff | pipeline walls {ne}/{ne4} exec (s) | pipeline eff | normalized | survivors equal |
 |---|---|---|---|---|---|---|
@@ -705,10 +770,32 @@ def _next_stage_id(spark) -> int:
         return 0
 
 
+def gen_cache(n_images: int) -> dict:
+    """Synthesize the deterministic scaling input once, at full machine
+    width, into $SPARK_GRAFT_SCALING_INPUT_CACHE/images_<n>_seed42.parquet
+    so pinned scaling legs read instead of regenerating (~7 min of 2-core
+    synthesis per leg at 2.88M rows otherwise)."""
+    cache_dir = os.environ["SPARK_GRAFT_SCALING_INPUT_CACHE"]
+    path = os.path.join(cache_dir, f"images_{n_images}_seed42.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return {"cache": path, "built": False}
+    from text_dedup_spark.sources.session import build_session
+    from text_dedup_spark.sources.synth import images_table
+
+    spark = build_session(
+        master=f"local[{os.cpu_count()}]", shuffle_partitions=64,
+        app_name="text-dedup-gen-cache",
+    )
+    images_table(spark, n_images, seed=42).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return {"cache": path, "built": True}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=None)
+    ap.add_argument("--gen-cache", action="store_true")
     ap.add_argument("--microbench", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--images", type=int, default=SCALING_IMAGES)
@@ -720,6 +807,8 @@ def main() -> None:
         print(json.dumps(
             scaling_worker(args.scaling_worker, args.images, args.phase, args.deploy)
         ))
+    elif args.gen_cache:
+        print(json.dumps(gen_cache(args.images)))
     elif args.skew:
         print(json.dumps(skew_bench()))
     elif args.microbench:
