@@ -545,6 +545,19 @@ _TOKENS = "regexp_extract_all(text, '[A-Za-z_0-9]+')"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # image_fidelity is a WITNESS query over the deterministic synthetic
+        # image table (200 rows, seed 42): the expected result is exactly one
+        # row per image with both invariants true (PSNR >= 40 dB after the
+        # identity block-mean resize round-trip; caption preserved), so the
+        # oracle constructs that row set directly. A broken decode path,
+        # dropped row, or fidelity violation changes the Spark side and
+        # fails the hash — this pins that the check EXECUTED on every row.
+        "image_fidelity": """
+            SELECT printf('img-%010d', i) AS image_id,
+                   TRUE AS psnr_ok,
+                   TRUE AS caption_equal
+            FROM range(0, 200) t(i)
+        """,
         "exact_dedup_survivors": f"""
             SELECT doc_id FROM (
               SELECT doc_id,
