@@ -428,11 +428,14 @@ def q_audio_near_dup(spark, sf_dir):
         audio_meta_table,
         media_near_dup_assignments,
     )
+    from text_dedup_spark.operators.ids import assign_dense_ids
     from text_dedup_spark.sources.synth import audio_table
 
-    clips = audio_table(spark, 250, seed=42).withColumn(
-        "__id__", F.xxhash64("clip_id")
-    )
+    # dense ids (generation order) rather than xxhash64(clip_id): each
+    # group's clips are emitted contiguously inside one batch, so the
+    # cluster representative (min id) is always the group anchor — the
+    # output is layout-independent and the oracle constructs it exactly
+    clips = assign_dense_ids(audio_table(spark, 250, seed=42), "__id__")
     meta = audio_meta_table(clips.select("clip_id", "__id__", "bytes"))
     assigns = media_near_dup_assignments(meta, "afp", "__id__", bit_diff=3)
     idmap = meta.select("__id__", "clip_id")
@@ -455,10 +458,13 @@ def q_video_near_dup(spark, sf_dir):
         media_near_dup_assignments,
         video_meta_table,
     )
+    from text_dedup_spark.operators.ids import assign_dense_ids
     from text_dedup_spark.sources.synth import video_table
 
-    clips = video_table(spark, 250, seed=42, container="mixed").withColumn(
-        "__id__", F.xxhash64("clip_id")
+    # dense ids for the same reason as q_audio_near_dup: representative =
+    # group anchor by construction, so the result is oracle-constructible
+    clips = assign_dense_ids(
+        video_table(spark, 250, seed=42, container="mixed"), "__id__"
     )
     meta = video_meta_table(
         clips.select("clip_id", "__id__", "bytes"), sample_every=2
@@ -557,6 +563,42 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS psnr_ok,
                    TRUE AS caption_equal
             FROM range(0, 200) t(i)
+        """,
+        # Constructed oracles over the deterministic synthetic media tables
+        # (seed 42, sf-independent). The cluster patterns are the planted
+        # truth, INDEPENDENTLY confirmed by a brute-force all-pairs Hamming
+        # union-find over the pure-Python kernel fingerprints (no Spark, no
+        # LSH bucketing) — so a green cell cross-checks the Catalyst
+        # bit-rotation bucketing against exhaustive pair enumeration.
+        # images: 20 groups x 10 slots; slots 1 (exact dup) and 3
+        # (pixel-perturbed, Hamming<=3) join the slot-0 anchor.
+        "image_phash_dedup": """
+            SELECT printf('img-%010d', g * 10 + s) AS image_id,
+                   printf('img-%010d', g * 10) AS rep_image_id
+            FROM range(0, 20) t(g) CROSS JOIN (VALUES (1), (3)) v(s)
+        """,
+        # audio/video: 50 groups x 5 slots; slot 1 = exact dup (video ships
+        # it in a DIFFERENT lossless container to prove per-row dispatch),
+        # slot 2 = fingerprint-stable near-dup; both join the slot-0 anchor.
+        "audio_near_dup": """
+            SELECT printf('clip-%010d', g * 5 + s) AS clip_id,
+                   printf('clip-%010d', g * 5) AS rep_clip_id
+            FROM range(0, 50) t(g) CROSS JOIN (VALUES (1), (2)) v(s)
+        """,
+        "video_near_dup": """
+            SELECT printf('vid-%010d', g * 5 + s) AS clip_id,
+                   printf('vid-%010d', g * 5) AS rep_clip_id
+            FROM range(0, 50) t(g) CROSS JOIN (VALUES (1), (2)) v(s)
+        """,
+        # image_meta: per-format counts and mean decoded luminance over the
+        # 200-row synthetic table — values pinned from the pure-Python
+        # decode path (margin to the round-2 boundary ~0.0013, vs ~1e-12
+        # float-sum jitter, so the rounding is stable).
+        "image_meta": """
+            SELECT * FROM (VALUES
+              ('jpeg_sim', CAST(40 AS BIGINT), CAST(127.81 AS DOUBLE)),
+              ('png', CAST(160 AS BIGINT), CAST(127.35 AS DOUBLE))
+            ) AS t(fmt, n_images, avg_luma)
         """,
         "exact_dedup_survivors": f"""
             SELECT doc_id FROM (
