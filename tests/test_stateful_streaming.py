@@ -1,0 +1,160 @@
+"""applyInPandasWithState near-dup operator: the custom-stateful streaming
+path (SURVEY §2.9). Semantics pinned here:
+
+- planted near-dups flag to the EARLIEST live source, matching the batch
+  SimHash operator's assignments on star-shaped corpora (cross-mode
+  equivalence, same kernels);
+- state is watermark-bounded across micro-batches (checkpoint restart):
+  a near-dup arriving after its source expired is NOT flagged;
+- the per-bucket capacity cap evicts oldest-first with deterministic
+  re-flagging (the streaming hot-bucket defense).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from text_dedup_spark.config import SimHashConfig
+from text_dedup_spark.kernel.simhash import hamming_distance, simhash_signature
+from text_dedup_spark.streaming.stateful import (
+    collapse_near_dup_flags,
+    streaming_simhash_near_dup,
+)
+
+CFG = SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram=3)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+_T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _t(minutes: float) -> datetime.datetime:
+    return _T0 + datetime.timedelta(minutes=minutes)
+
+
+ANCHOR = (
+    "the quick brown fox jumps over the lazy dog while seventeen engineers "
+    "review a distributed deduplication pipeline for image caption pairs"
+)
+NEAR = ANCHOR + " today"  # tiny char-3-gram delta
+FAR = (
+    "completely different subject matter entirely unrelated to the corpus "
+    "zebra quantum violin eleven purple cascading metrics"
+)
+
+
+def _assert_planted_distances() -> None:
+    a = simhash_signature(ANCHOR, CFG.f, CFG.ngram)
+    n = simhash_signature(NEAR, CFG.f, CFG.ngram)
+    f = simhash_signature(FAR, CFG.f, CFG.ngram)
+    assert hamming_distance(a, n) <= CFG.bit_diff, hamming_distance(a, n)
+    assert hamming_distance(a, f) > CFG.bit_diff, hamming_distance(a, f)
+
+
+def _run(spark, tmp_path, rows, name, in_dir="stream_in", sink="memory", **kwargs):
+    path = str(tmp_path / in_dir)
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    flags = streaming_simhash_near_dup(
+        stream, "text", "ts", CFG, id_col="doc_id", **kwargs
+    )
+    writer = flags.writeStream.outputMode("append").option(
+        "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+    ).trigger(availableNow=True)
+    if sink == "memory":
+        q = writer.format("memory").queryName(name).start()
+    else:  # parquet: the memory sink cannot recover from a checkpoint, so
+        # multi-batch (restart) tests need a fault-tolerant file sink
+        q = writer.format("parquet").start(str(tmp_path / f"out_{name}"))
+    q.awaitTermination(180)
+    return None
+
+
+def _collapsed(spark, name, tmp_path=None):
+    src = (
+        spark.read.parquet(str(tmp_path / f"out_{name}"))
+        if tmp_path is not None
+        else spark.table(name)
+    )
+    return {
+        r["doc_id"]: r["dup_src"]
+        for r in collapse_near_dup_flags(src, id_col="doc_id").collect()
+    }
+
+
+def test_planted_flags_match_batch_assignments(spark, tmp_path):
+    """Star corpus: streaming collapsed flags == batch SimHash assignments
+    (same kernels, same config; anchor = earliest ts AND min id)."""
+    _assert_planted_distances()
+    rows = [
+        (0, ANCHOR, _t(0)),
+        (1, ANCHOR, _t(1)),  # exact dup
+        (2, NEAR, _t(2)),  # near dup (Hamming <= bit_diff)
+        (3, FAR, _t(3)),  # unrelated
+    ]
+    _run(spark, tmp_path, rows, "near_flags")
+    got = _collapsed(spark, "near_flags")
+    assert got == {0: None, 1: 0, 2: 0, 3: None}
+
+    from text_dedup_spark.operators.simhash_dedup import (
+        simhash_assignments_from_text,
+    )
+
+    batch = {
+        r["doc_id"]: r["component"]
+        for r in simhash_assignments_from_text(
+            spark.createDataFrame(rows, SCHEMA), "text", CFG, "doc_id"
+        ).collect()
+    }
+    stream_nonnull = {k: v for k, v in got.items() if v is not None}
+    assert stream_nonnull == batch
+
+
+def test_watermark_expires_state_across_batches(spark, tmp_path):
+    """Batch 1 advances the watermark past the anchor; batch 2's near-dup of
+    the anchor is NOT flagged (state pruned), while a near-dup of the
+    still-live row is."""
+    _assert_planted_distances()
+    # batch 1: anchor at t0; FAR at t0+30min pushes watermark to t0+20min
+    _run(
+        spark, tmp_path,
+        [(0, ANCHOR, _t(0)), (1, FAR, _t(30))],
+        "wm_flags", sink="parquet", watermark="10 minutes",
+    )
+    # batch 2 (same checkpoint): near-dup of the expired anchor + exact dup
+    # of the live FAR row
+    _run(
+        spark, tmp_path,
+        [(2, NEAR, _t(31)), (3, FAR, _t(32))],
+        "wm_flags", sink="parquet", watermark="10 minutes",
+    )
+    got = _collapsed(spark, "wm_flags", tmp_path)
+    assert got[0] is None and got[1] is None
+    assert got[2] is None  # source expired -> not flagged
+    assert got[3] == 1  # source still within watermark
+
+
+def test_capacity_cap_evicts_oldest(spark, tmp_path):
+    """max_state_per_bucket=2 over 5 identical-signature rows: each row
+    flags to the earliest STILL-LIVE entry, oldest evicted first."""
+    rows = [(i, ANCHOR, _t(i)) for i in range(5)]
+    _run(spark, tmp_path, rows, "cap_flags", max_state_per_bucket=2)
+    got = _collapsed(spark, "cap_flags")
+    # r0 first-seen; r1->r0; r2->r0 then r0 evicted; r3->r1 (earliest live
+    # after [r1, r2]) then r1 evicted; r4->r2
+    assert got == {0: None, 1: 0, 2: 0, 3: 1, 4: 2}
