@@ -149,6 +149,28 @@ def test_watermark_expires_state_across_batches(spark, tmp_path):
     assert got[3] == 1  # source still within watermark
 
 
+def test_late_rows_are_dropped_not_fatal(spark, tmp_path):
+    """Pin the late-data contract (measured, Spark 4.1): rows behind the
+    watermark are filtered BEFORE applyInPandasWithState, so a very late
+    row (t0-60min against a watermark at t0+20min) silently disappears —
+    the query completes, emits nothing for it, and never reaches the
+    operator's timeout-vs-watermark edge (the operator still clamps its
+    timeout above the watermark as defense-in-depth for short-watermark
+    configs)."""
+    _run(
+        spark, tmp_path,
+        [(0, ANCHOR, _t(0)), (1, FAR, _t(30))],
+        "late_flags", sink="parquet", watermark="10 minutes",
+    )
+    _run(
+        spark, tmp_path,
+        [(2, ANCHOR, _t(-60))],
+        "late_flags", sink="parquet", watermark="10 minutes",
+    )
+    got = _collapsed(spark, "late_flags", tmp_path)
+    assert got == {0: None, 1: None}  # late row dropped, query alive
+
+
 def test_capacity_cap_evicts_oldest(spark, tmp_path):
     """max_state_per_bucket=2 over 5 identical-signature rows: each row
     flags to the earliest STILL-LIVE entry, oldest evicted first."""

@@ -179,8 +179,13 @@ def streaming_simhash_near_dup(
 
         state.update((ids, sgs, tss))
         # idle-bucket cleanup: once the watermark passes the newest entry
-        # by the watermark delay, every entry is prunable -> remove state
-        state.setTimeoutTimestamp(max(tss) + wm_ms)
+        # by the watermark delay, every entry is prunable -> remove state.
+        # Clamp above the current watermark: Spark rejects a timeout <= the
+        # watermark. Late input rows are filtered before this operator in
+        # Spark 4.1 (pinned by tests/test_stateful_streaming.py), so the
+        # clamp is defense-in-depth for very short watermark configs where
+        # max(tss) + wm_ms could land exactly on the watermark.
+        state.setTimeoutTimestamp(max(max(tss) + wm_ms, wm + 1))
         yield pd.DataFrame(
             {
                 id_col: pd.array(out_ids, dtype="int64"),
