@@ -171,6 +171,64 @@ def test_late_rows_are_dropped_not_fatal(spark, tmp_path):
     assert got == {0: None, 1: None}  # late row dropped, query alive
 
 
+def test_randomized_corpus_matches_pure_python_oracle(spark, tmp_path):
+    """Seeded random corpus (mixed clones, near-dups, singletons) vs a
+    pure-Python replication of the operator's exact semantics: per bucket
+    key, match each row (event-time order) against earlier live rows with
+    Hamming <= bit_diff, earliest source wins; collapse = min source over
+    buckets. Kernel bucket keys == Catalyst bucket keys is pinned
+    elsewhere; this pins the STATE MACHINE on a non-star graph."""
+    import random
+
+    from text_dedup_spark.kernel.simhash import (
+        create_permutations,
+        simhash_signature,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows, texts = [], []
+    doc_id = 0
+    for _ in range(15):
+        base = " ".join(rng.choice(vocab) for _ in range(40))
+        variants = [base]
+        for _ in range(rng.randint(0, 3)):
+            kind = rng.random()
+            if kind < 0.4:
+                variants.append(base)  # clone
+            elif kind < 0.8:
+                variants.append(base + " " + rng.choice(vocab))  # near
+            else:
+                variants.append(
+                    " ".join(rng.choice(vocab) for _ in range(40))
+                )  # unrelated text inside the group
+        for v in variants:
+            rows.append((doc_id, v, _t(doc_id)))  # ids ascend with ts
+            texts.append(v)
+            doc_id += 1
+    _run(spark, tmp_path, rows, "rand_flags")
+    got = _collapsed(spark, "rand_flags")
+
+    # pure-python oracle of the streaming semantics (single batch: wm=0,
+    # no pruning; default cap never reached at this size)
+    perms = create_permutations(CFG.f, CFG.bit_diff, CFG.num_bucket)
+    sigs = [simhash_signature(t, CFG.f, CFG.ngram) for t in texts]
+    buckets: dict = {}
+    expect: dict = {}
+    for i, s in enumerate(sigs):
+        best = None
+        keys = [(pi, p.bucket_key(s)) for pi, p in enumerate(perms)]
+        for k in keys:
+            for j, sj in buckets.get(k, []):
+                if hamming_distance(s, sj) <= CFG.bit_diff:
+                    best = j if best is None else min(best, j)
+                    break  # entries are in arrival order; earliest wins
+        for k in keys:
+            buckets.setdefault(k, []).append((i, s))
+        expect[i] = best
+    assert got == expect
+
+
 def test_capacity_cap_evicts_oldest(spark, tmp_path):
     """max_state_per_bucket=2 over 5 identical-signature rows: each row
     flags to the earliest STILL-LIVE entry, oldest evicted first."""
