@@ -216,18 +216,51 @@ def test_jpeg_codec_roundtrips():
     assert 30 < psnr(img, q8) < psnr(img, decode_jpeg_baseline(encode_jpeg_baseline(img, 1)))
 
 
-def test_jpeg_decoder_rejects_progressive_and_garbage():
+def test_jpeg_decoder_rejects_arithmetic_and_garbage():
     import pytest as _pytest
 
     from text_dedup_spark.sources.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
 
     data = bytearray(encode_jpeg_baseline(_smooth_rgb(16, 16), 1))
     sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    data[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
     with _pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(bytes(data))
+    # SOF0 -> SOF2 with a baseline SOS (Ss=0, Se=63) is MALFORMED
+    # progressive (a progressive DC scan must have Se=0): rejected, typed
+    data[sof + 1] = 0xC2
+    with _pytest.raises(ValueError):
         decode_jpeg_baseline(bytes(data))
     with _pytest.raises(ValueError):
         decode_jpeg_baseline(b"not a jpeg at all")
+
+
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """Real SOF2 streams (spectral selection + successive approximation,
+    T.81 Annex G) decode to EXACTLY the baseline image: same flat quant
+    tables => same reconstructed coefficients once every refinement scan
+    has landed, so the pixel output must match byte for byte."""
+    from text_dedup_spark.sources.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((rng.rand(40, 56) * 255).astype(np.uint8), 1),       # gray noise
+        (_smooth_rgb(50, 70), 1),                              # smooth color
+        (_smooth_rgb(33, 17), 8),                              # odd dims, lossy
+        (np.full((24, 24, 3), 200, np.uint8), 4),              # flat: EOB runs
+        ((np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8), 1),  # checker
+    ]
+    for img, scale in cases:
+        base = decode_jpeg_baseline(encode_jpeg_baseline(img, scale))
+        prog = decode_jpeg_baseline(encode_jpeg_progressive(img, scale))
+        assert np.array_equal(base, prog), (img.shape, scale)
+    # and the near-lossless fidelity invariant holds straight off SOF2 bytes
+    img = _smooth_rgb(48, 32)
+    assert psnr(img, decode_jpeg_baseline(encode_jpeg_progressive(img, 1))) > 45
 
 
 def test_jpeg_rows_through_phash_and_fidelity(spark):
@@ -269,25 +302,32 @@ def test_jpeg_rows_through_phash_and_fidelity(spark):
     assert verify_fidelity(png_df, bad_df).count() == 6
 
 
-def test_progressive_jpeg_flag_policy_end_to_end(spark):
-    """VERDICT r2 #7: a mixed baseline+progressive fixture processes
-    end-to-end under undecodable='flag' — progressive rows get
+def test_undecodable_jpeg_flag_policy_end_to_end(spark):
+    """VERDICT r2 #7: a mixed decodable+undecodable fixture processes
+    end-to-end under undecodable='flag' — arithmetic-coded rows get
     decode_ok=false (excluded from the phash modality only), none crash,
-    and exact-bytes + caption dedup still cover them."""
+    and exact-bytes + caption dedup still cover them. Progressive (SOF2)
+    rows now DECODE for real and ride the pixel modality."""
     from text_dedup_spark.config import MinHashConfig, SimHashConfig
     from text_dedup_spark.functions.image_udf import phash_from_bytes_flagged
     from text_dedup_spark.plans.image_pipeline import image_dedup
-    from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+    from text_dedup_spark.sources.jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
     from text_dedup_spark.sources.png import try_decode_image
 
-    def progressive(img):
+    def undecodable(img):
         data = bytearray(encode_jpeg_baseline(img, 1))
         sof = data.index(b"\xff\xc0")
-        data[sof + 1] = 0xC2
+        data[sof + 1] = 0xC9  # arithmetic sequential: valid format, no codec
         return bytes(data)
 
-    assert try_decode_image(progressive(_smooth_rgb(16, 16)), "jpeg") is None
+    assert try_decode_image(undecodable(_smooth_rgb(16, 16)), "jpeg") is None
     assert try_decode_image(b"garbage", "jpeg") is None
+    assert try_decode_image(
+        encode_jpeg_progressive(_smooth_rgb(16, 16), 1), "jpeg"
+    ) is not None
 
     def rand_img(seed):
         rng = np.random.RandomState(seed)
@@ -311,14 +351,21 @@ def test_progressive_jpeg_flag_policy_end_to_end(spark):
             (f"ok{i}", bytearray(encode_jpeg_baseline(rand_img(i), 1)), 32, 32,
              "jpeg", cap(i), 0)
         )
-    # progressive rows: one is a BYTE-exact clone of another progressive
-    # row, one near-dups a caption — both must still dedup without pixels
-    prog_bytes = progressive(rand_img(999))
-    rows.append(("prog0", bytearray(prog_bytes), 32, 32, "jpeg", cap(999), 0))
-    rows.append(("prog1", bytearray(prog_bytes), 32, 32, "jpeg", cap(999), 0))
+    # arithmetic-coded rows: one is a BYTE-exact clone of another, one
+    # near-dups a caption — both must still dedup without pixels
+    und_bytes = undecodable(rand_img(999))
+    rows.append(("prog0", bytearray(und_bytes), 32, 32, "jpeg", cap(999), 0))
+    rows.append(("prog1", bytearray(und_bytes), 32, 32, "jpeg", cap(999), 0))
     rows.append(
-        ("prog2", bytearray(progressive(rand_img(998))), 32, 32,
+        ("prog2", bytearray(undecodable(rand_img(998))), 32, 32,
          "jpeg", cap(0) + " extra", 0)
+    )
+    # a REAL progressive (SOF2) row: pixels identical to ok5's baseline row
+    # (same flat quant => same decoded array), caption unrelated — it must
+    # decode (NOT flagged) and dedup against ok5 through the pixel modality
+    rows.append(
+        ("sof2", bytearray(encode_jpeg_progressive(rand_img(5), 1)), 32, 32,
+         "jpeg", cap(777), 0)
     )
     schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
     df = spark.createDataFrame(rows, schema)
@@ -331,19 +378,22 @@ def test_progressive_jpeg_flag_policy_end_to_end(spark):
         undecodable="flag",
     )
     kept_ids = {r["image_id"] for r in res.kept.select("image_id").collect()}
-    # exactly the 3 progressive rows are flagged
+    # exactly the 3 arithmetic rows are flagged — the SOF2 row decodes
     assert res.decode_flags is not None and res.decode_flags.count() == 3
     flagged_ids = {
         r["image_id"]
         for r in res.corpus.join(res.decode_flags, "__id__").select("image_id").collect()
     }
     assert flagged_ids == {"prog0", "prog1", "prog2"}
-    # byte-exact progressive clone deduped via exact hash
+    # byte-exact undecodable clone deduped via exact hash
     assert not {"prog0", "prog1"} <= kept_ids
-    # caption-near progressive row deduped via MinHash (vs ok0's caption)
+    # caption-near undecodable row deduped via MinHash (vs ok0's caption)
     assert "prog2" not in kept_ids or "ok0" not in kept_ids
-    # all decodable rows survive (unique pixels + captions)
-    assert {f"ok{i}" for i in range(1, 8)} <= kept_ids
+    # the progressive row pixel-dups ok5 (identical decoded array =>
+    # identical phash): exactly one of the pair survives
+    assert len({"sof2", "ok5"} & kept_ids) == 1
+    # every other decodable row survives (unique pixels + captions)
+    assert {f"ok{i}" for i in range(1, 8) if i != 5} <= kept_ids
 
     # the flagged struct UDF itself: nulls exactly where decode fails
     got = {
@@ -358,6 +408,8 @@ def test_progressive_jpeg_flag_policy_end_to_end(spark):
     for p in ("prog0", "prog1", "prog2"):
         ph, ok = got[p]
         assert not ok and ph is None
+    ph, ok = got["sof2"]
+    assert ok and ph == got["ok5"][0]  # SOF2 decodes to ok5's exact pixels
 
     # undecodable='error' (the default) still raises on the same corpus
     import pytest as _pytest
@@ -393,3 +445,26 @@ def test_corrupt_jpeg_never_escapes_the_flag_seam():
         except (ValueError, NotImplementedError):
             continue
         assert out.shape[0] == 32  # corrupted-but-decodable is acceptable
+
+    # same closed contract for the progressive (SOF2) entropy coders.
+    # NOTE: truncated progressive may legitimately DECODE — the format is
+    # designed to render from a scan prefix (partial refinement), so the
+    # contract here is "None or a well-shaped image", never a stray raise.
+    from text_dedup_spark.sources.jpeg import encode_jpeg_progressive
+
+    pblob = encode_jpeg_progressive(img)
+    for cut in range(2, len(pblob), 17):
+        try:
+            decode_image(pblob[:cut], "jpeg")
+        except (ValueError, NotImplementedError):
+            pass
+        out = try_decode_image(pblob[:cut], "jpeg")
+        assert out is None or out.shape == (32, 32)
+    for i in range(0, len(pblob), 31):
+        b = bytearray(pblob)
+        b[i] ^= 0xFF
+        try:
+            out = decode_image(bytes(b), "jpeg")
+        except (ValueError, NotImplementedError):
+            continue
+        assert out.shape[0] == 32

@@ -122,10 +122,10 @@ def test_staged_features_flag_policy(spark, tmp_path):
         rng = np.random.RandomState(seed)
         return (rng.rand(32, 32, 3) * 255).astype(np.uint8)
 
-    def progressive(img):
+    def undecodable(img):
         data = bytearray(encode_jpeg_baseline(img, 1))
         sof = data.index(b"\xff\xc0")
-        data[sof + 1] = 0xC2
+        data[sof + 1] = 0xC9  # arithmetic-coded: valid format, no codec
         return bytes(data)
 
     def cap(i):
@@ -135,7 +135,7 @@ def test_staged_features_flag_policy(spark, tmp_path):
     rows = []
     for i in range(5):
         rows.append((f"g{i}", bytearray(encode_png(rand_img(i))), 32, 32, "png", cap(i), 0))
-    pb = progressive(rand_img(77))
+    pb = undecodable(rand_img(77))
     rows.append(("p0", bytearray(pb), 32, 32, "jpeg", cap(100), 0))
     rows.append(("p1", bytearray(pb), 32, 32, "jpeg", cap(100), 0))  # exact clone
     schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
@@ -153,7 +153,7 @@ def test_staged_features_flag_policy(spark, tmp_path):
     stage_cluster(catalog, ["d1"], SimHashConfig(f=64, bit_diff=3, num_bucket=4, ngram=3))
     kept_n, removed_n = stage_apply(catalog, df, "d1")
     kept = {r["image_id"] for r in catalog.read("d1__kept").collect()}
-    # the byte-exact progressive clone is removed via the exact modality
+    # the byte-exact undecodable clone is removed via the exact modality
     assert ("p0" in kept) != ("p1" in kept)
     assert {f"g{i}" for i in range(5)} <= kept
     assert kept_n + removed_n == 7

@@ -307,7 +307,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", required=True)
     p.add_argument("--phash_source", default="column", choices=["column", "pixels"])
     p.add_argument("--undecodable", default="error", choices=["error", "flag"],
-                   help="flag: undecodable payloads (progressive JPEG, corrupt "
+                   help="flag: undecodable payloads (arithmetic JPEG, corrupt "
                         "bytes) get decode_ok=false and skip the phash modality "
                         "instead of failing the task")
     p.set_defaults(fn=cmd_image_features)

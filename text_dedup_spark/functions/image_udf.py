@@ -70,10 +70,10 @@ PHASH_FLAGGED = StructType(
 @pandas_udf(PHASH_FLAGGED)
 def phash_from_bytes_flagged(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
     """Skip+flag variant of ``phash_from_bytes`` (VERDICT r2 #7): payloads
-    the container cannot decode (progressive/arithmetic JPEG, corrupt
-    streams) yield (phash=null, decode_ok=false) instead of failing the
-    task — the only sane policy on a web corpus where 10-20% of JPEGs are
-    progressive."""
+    the container cannot decode (arithmetic-coded/lossless JPEG, corrupt
+    streams — progressive SOF2 now decodes for real) yield (phash=null,
+    decode_ok=false) instead of failing the task — the only sane policy on
+    a web corpus."""
     hashes, oks = [], []
     for b, f in zip(data, fmt):
         arr = try_decode_image(bytes(b), f)

@@ -40,7 +40,7 @@ class ImageDedupResult:
     image_edges: DataFrame    # Hamming-verified edges over phash
     kept: DataFrame           # survivors of the union of all three
     decode_flags: DataFrame | None = None  # (id,) of rows the container
-    # could not decode when undecodable='flag' (progressive JPEG etc.) —
+    # could not decode when undecodable='flag' (arithmetic JPEG etc.) —
     # they are excluded from the phash modality only; materialized eagerly
     # (tiny) so reading it never re-runs the decode UDF
 
@@ -73,7 +73,7 @@ def image_dedup(
 
     ``undecodable`` (phash_source='pixels' only): 'error' fails the task on
     a payload the container cannot decode; 'flag' records decode_ok=false
-    for it (progressive JPEG, corrupt bytes), keeps it OUT of the phash
+    for it (arithmetic-coded JPEG, corrupt bytes), keeps it OUT of the phash
     modality (no pixel evidence), and still dedups it by exact bytes and
     caption — the production policy for real web corpora."""
     minhash_cfg = (minhash_cfg or MinHashConfig()).resolve()

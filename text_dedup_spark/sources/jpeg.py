@@ -1,10 +1,13 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public spec).
+"""Pure-numpy JPEG codec (ITU-T T.81 / ISO 10918-1, public spec).
 
 No image library exists in this container, so — like the PNG codec in
 sources/png.py — the format is implemented directly from the public
-specification. Scope: baseline sequential DCT, 8-bit, grayscale or YCbCr
-with arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0), DQT/DHT/SOF0/SOS/
-DRI/RSTn markers. Progressive (SOF2) and arithmetic coding raise.
+specification. Scope: baseline sequential DCT (SOF0/SOF1) AND progressive
+DCT (SOF2, spectral selection + successive approximation per Annex G),
+8-bit, grayscale or YCbCr with arbitrary sampling factors (4:4:4, 4:2:2,
+4:2:0), DQT/DHT/SOS/DRI/RSTn markers. Arithmetic coding and the
+lossless/hierarchical SOF modes raise NotImplementedError (the operator
+seam flags those rows instead of failing the task).
 
 The decoder is fully general baseline (tables come from the file's DHT/DQT
 segments). The encoder exists so tests can produce REAL JPEG bytes without
@@ -168,7 +171,11 @@ def _extend(value: int, size: int) -> int:
 
 
 def decode_jpeg_baseline(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    """JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB.
+
+    Handles baseline sequential (SOF0/SOF1) and progressive (SOF2)
+    streams; the historical name is kept for API compatibility
+    (``decode_jpeg`` is an alias)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -178,8 +185,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     out = None
+    progressive = False
+    coefs = None  # per-component (blocks_y, blocks_x, 64) zigzag coefficients
 
-    while pos < len(data):
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             pos += 1
             continue
@@ -203,7 +212,8 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
                     p += 128
                 qt[tq] = tbl
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -213,9 +223,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG is supported (SOF marker 0x{marker:02X})"
+                "only DCT sequential/progressive Huffman JPEG is supported "
+                f"(SOF marker 0x{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -233,21 +244,45 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append({**comp, "dc": tables >> 4, "ac": tables & 0xF})
-            out = _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                hit = next(
+                    ((i, x) for i, x in enumerate(frame["comps"]) if x["id"] == cs),
+                    None,
+                )
+                if hit is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                ci, comp = hit
+                scan.append({**comp, "ci": ci, "dc": tables >> 4, "ac": tables & 0xF})
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                out = _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+                break
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_scan_progressive(
+                data, pos + seglen, frame, scan, ss, se, ah, al,
+                coefs, huff_dc, huff_ac, restart_interval,
             )
-            break
+            continue
         pos += seglen
 
+    if progressive and coefs is not None:
+        out = _reconstruct_progressive(frame, coefs, qt)
     if out is None:
         raise ValueError("no SOS scan found")
     return out
+
+
+decode_jpeg = decode_jpeg_baseline
 
 
 def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -304,9 +339,13 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interva
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu_count += 1
 
-    # upsample each plane to full size, crop
+    return _assemble_planes(planes, scan, hmax, vmax, h, w)
+
+
+def _assemble_planes(planes, comps, hmax, vmax, h, w):
+    """Upsample spatial component planes to full size, crop, color-convert."""
     full = []
-    for ci, comp in enumerate(scan):
+    for ci, comp in enumerate(comps):
         p = planes[ci]
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
@@ -320,6 +359,191 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interva
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# --- progressive decoder (T.81 Annex G: spectral selection + successive
+#     approximation; Huffman coding) -----------------------------------------
+
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coefs(frame):
+    """One int64 (blocks_y, blocks_x, 64) array per frame component,
+    coefficients in zigzag order, sized to the MCU-padded grid."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    ]
+
+
+def _dc_first(reader, block, dc_table, pred, ci, al):
+    t = _decode_huffman_symbol(reader, dc_table)
+    diff = _extend(reader.read_bits(t), t)
+    pred[ci] += diff
+    block[0] = pred[ci] << al
+
+
+def _dc_refine(reader, block, al):
+    if reader.read_bit():
+        block[0] |= 1 << al
+
+
+def _ac_first(reader, block, ac_table, ss, se, al, eobrun):
+    """First scan of an AC band: Huffman (run, size) with EOBn run codes,
+    new coefficients arrive at magnitude << Al (T.81 G.1.2.2)."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman_symbol(reader, ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index beyond band end")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, block, ac_table, ss, se, al, eobrun):
+    """Refinement scan of an AC band (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient crossed, new coefficients appear at +-1<<Al."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _decode_huffman_symbol(reader, ac_table)
+            r, s = rs >> 4, rs & 0xF
+            sgn = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement scan")
+                sgn = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun[0] = 1 << r
+                if r:
+                    eobrun[0] += reader.read_bits(r)
+                break  # remaining coefficients handled by the EOB-run path
+            # advance past r zero-history positions, refining nonzero history
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sgn and k <= se:
+                block[k] = sgn
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if block[k] != 0 and reader.read_bit() and (block[k] & p1) == 0:
+                block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan_progressive(
+    data, start, frame, scan, ss, se, ah, al, coefs, huff_dc, huff_ac,
+    restart_interval,
+):
+    """Decode one progressive SOS into the frame coefficient buffers;
+    returns the stream position just past the consumed entropy data."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if se > 63 or ss > se:
+        raise ValueError(f"invalid progressive spectral band {ss}..{se}")
+    if ss != 0 and len(scan) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+
+    # block visit order: interleaved MCU order for multi-component (DC)
+    # scans, the component's own non-interleaved block grid otherwise
+    units = []
+    if len(scan) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu = []
+                for s in scan:
+                    for by in range(s["v"]):
+                        for bx in range(s["h"]):
+                            mcu.append((s, my * s["v"] + by, mx * s["h"] + bx))
+                units.append(mcu)
+    else:
+        s = scan[0]
+        nbx = (-(-(w * s["h"]) // hmax) + 7) // 8
+        nby = (-(-(h * s["v"]) // vmax) + 7) // 8
+        units = [[(s, by, bx)] for by in range(nby) for bx in range(nbx)]
+
+    reader = _BitReader(data, start)
+    pred = [0] * len(frame["comps"])
+    eobrun = [0]
+    count = 0
+    for unit in units:
+        if restart_interval and count and count % restart_interval == 0:
+            reader.align_to_marker()
+            while data[reader.pos] != 0xFF or not (
+                0xD0 <= data[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 1
+            reader.pos += 2
+            pred = [0] * len(frame["comps"])
+            eobrun[0] = 0
+        for s, by, bx in unit:
+            block = coefs[s["ci"]][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    _dc_first(reader, block, huff_dc[s["dc"]], pred, s["ci"], al)
+                else:
+                    _dc_refine(reader, block, al)
+            else:
+                if ah == 0:
+                    _ac_first(reader, block, huff_ac[s["ac"]], ss, se, al, eobrun)
+                else:
+                    _ac_refine(reader, block, huff_ac[s["ac"]], ss, se, al, eobrun)
+        count += 1
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient buffers."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        arr = coefs[ci]
+        nby, nbx, _ = arr.shape
+        q = qt[comp["tq"]]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = arr[by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct(block.reshape(8, 8)) + 128.0
+                )
+        planes.append(plane)
+    return _assemble_planes(planes, frame["comps"], hmax, vmax, h, w)
 
 
 # --- encoder (4:4:4, flat quant, embedded simple Huffman tables) -------------
@@ -470,4 +694,189 @@ def encode_jpeg_baseline(
             mcu_count += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (fixture generator: spectral selection +
+#     successive approximation, the scan script libjpeg calls "simple
+#     progression") ------------------------------------------------------------
+
+
+def _emit_eobrun(writer: _BitWriter, state: dict) -> None:
+    """Close a pending EOB run: EOBn symbol + length bits, then the
+    correction bits buffered while the run was open (T.81 G.1.2.2-3)."""
+    if state["eobrun"] > 0:
+        n = state["eobrun"].bit_length() - 1
+        length, code = _ENC_AC[n << 4]
+        writer.write(code, length)
+        if n:
+            writer.write(state["eobrun"] - (1 << n), n)
+        state["eobrun"] = 0
+        for b in state["be_bits"]:
+            writer.write(b, 1)
+        state["be_bits"] = []
+
+
+def _enc_dc_first(writer, block, al, pred, ci):
+    t = int(block[0]) >> al  # arithmetic shift: the DC point transform
+    diff = t - pred[ci]
+    pred[ci] = t
+    s = _size_of(diff)
+    length, code = _ENC_DC[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_dc_refine(writer, block, al):
+    writer.write((int(block[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(writer, block, ss, se, al, state):
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(block[k])
+        a = abs(t) >> al  # AC point transform truncates toward zero
+        if a == 0:
+            r += 1
+            continue
+        _emit_eobrun(writer, state)
+        while r > 15:
+            length, code = _ENC_AC[0xF0]
+            writer.write(code, length)
+            r -= 16
+        s = a.bit_length()
+        length, code = _ENC_AC[(r << 4) | s]
+        writer.write(code, length)
+        writer.write(a if t >= 0 else -a + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(writer, state)
+
+
+def _enc_ac_refine(writer, block, ss, se, al, state):
+    # scaled magnitudes; EOB = last position that becomes NEWLY significant
+    absval = [0] * (se + 1)
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        a = abs(int(block[k])) >> al
+        absval[k] = a
+        if a == 1:
+            eob = k
+    r = 0
+    br: list[int] = []  # correction bits pending within this block
+    for k in range(ss, se + 1):
+        a = absval[k]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun(writer, state)
+            length, code = _ENC_AC[0xF0]
+            writer.write(code, length)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if a > 1:  # significant in an earlier scan: one correction bit
+            br.append(a & 1)
+            continue
+        _emit_eobrun(writer, state)
+        length, code = _ENC_AC[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(block[k]) >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        state["eobrun"] += 1
+        state["be_bits"].extend(br)
+        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 937:
+            _emit_eobrun(writer, state)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quant_scale: int = 1) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> progressive (SOF2) JFIF bytes, 4:4:4.
+
+    Same flat quantization as ``encode_jpeg_baseline``, so after every scan
+    is applied the reconstructed coefficients are EXACTLY the baseline
+    encoder's coefficients — decode(progressive) == decode(baseline) byte
+    for byte, which the tests assert. The scan script exercises all four
+    progressive block-coder paths: interleaved DC first (Al=1), split AC
+    bands first (Al=2), two AC refinements (2->1, 1->0), DC refinement."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rf, gf, bf = (arr[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0,
+            0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0,
+        ]
+    ncomp = len(planes)
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+
+    coefs = []
+    for p in planes:
+        padded = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+        blk = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                c = np.round(_fdct(block) / float(quant_scale)).astype(np.int64)
+                blk[by, bx] = c.ravel()[_ZIGZAG]
+        coefs.append(blk)
+
+    q = np.full(64, int(quant_scale), dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])  # 4:4:4
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
+    dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
+    out += _seg(0xC4, dht)
+
+    all_comps = list(range(ncomp))
+    scans = [(all_comps, 0, 0, 0, 1)]
+    scans += [([c], 1, 5, 0, 2) for c in all_comps]
+    scans += [([c], 6, 63, 0, 2) for c in all_comps]
+    scans += [([c], 1, 63, 2, 1) for c in all_comps]
+    scans += [(all_comps, 0, 0, 1, 0)]
+    scans += [([c], 1, 63, 1, 0) for c in all_comps]
+
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for c in comp_idx:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        writer = _BitWriter()
+        state = {"eobrun": 0, "be_bits": []}
+        pred = [0] * ncomp
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in comp_idx:
+                    block = coefs[ci][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            _enc_dc_first(writer, block, al, pred, ci)
+                        else:
+                            _enc_dc_refine(writer, block, al)
+                    elif ah == 0:
+                        _enc_ac_first(writer, block, ss, se, al, state)
+                    else:
+                        _enc_ac_refine(writer, block, ss, se, al, state)
+        if ss != 0:
+            _emit_eobrun(writer, state)
+        out += writer.flush()
+    out += b"\xff\xd9"
     return bytes(out)

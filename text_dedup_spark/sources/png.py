@@ -90,12 +90,14 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Typed decode entry point for the multimodal column.
 
-    PNG and baseline JPEG are both real pure-numpy codecs ('jpeg_sim' is
-    the legacy synthetic-lossy PNG container, kept for fixture compat).
+    PNG and JPEG (baseline sequential AND progressive SOF2) are real
+    pure-numpy codecs ('jpeg_sim' is the legacy synthetic-lossy PNG
+    container, kept for fixture compat).
 
     Error contract: ValueError for any corrupt/truncated stream,
     NotImplementedError for valid-but-unsupported codec features
-    (progressive/arithmetic JPEG). Low-level parse crashes (IndexError /
+    (arithmetic-coded / lossless / hierarchical JPEG). Low-level parse
+    crashes (IndexError /
     struct.error / zlib.error from decoders walking truncated buffers) are
     normalized to ValueError here so the operator-level flag policy
     (try_decode_image -> decode_ok=false) can rely on a closed exception
@@ -117,10 +119,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 def try_decode_image(data: bytes, fmt: str):
     """``decode_image`` that returns None instead of raising for payloads
-    this container cannot decode — progressive/arithmetic JPEG
-    (NotImplementedError, ~10-20% of real web corpora) and corrupt streams
-    (ValueError). The operator-level skip+flag policy: a bad row becomes
-    ``decode_ok=false``, never a task failure that kills a 100-TB job."""
+    this container cannot decode — arithmetic-coded/lossless JPEG
+    (NotImplementedError) and corrupt streams (ValueError). The
+    operator-level skip+flag policy: a bad row becomes ``decode_ok=false``,
+    never a task failure that kills a 100-TB job."""
     try:
         return decode_image(data, fmt)
     except (NotImplementedError, ValueError):
