@@ -22,8 +22,11 @@ planted duplicates (FIXTURES.md):
 
 Lossy-path simulation: slot 3 and one singleton per group carry
 fmt='jpeg_sim' — pixels quantized to steps of 4 (PSNR ≈ 48 dB vs the
-unquantized source, exercising the >=40 dB check) then PNG-packed, because
-a real JPEG codec is not in this container (sources/png.py docstring).
+unquantized source, exercising the >=40 dB check) then PNG-packed. The
+repo now carries real pure-numpy JPEG codecs (sources/jpeg.py: baseline
+AND progressive) — jpeg_sim is kept because the oracle truth tables are
+constructed from these exact deterministic bytes, and real-JPEG rows are
+exercised by tests/test_images.py and the CLI drives instead.
 """
 
 from __future__ import annotations
