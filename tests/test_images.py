@@ -262,6 +262,20 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
     img = _smooth_rgb(48, 32)
     assert psnr(img, decode_jpeg_baseline(encode_jpeg_progressive(img, 1))) > 45
 
+    # encoder determinism goldens: the deploy/test design requires stable
+    # bytes for identical input (content-stable ids, oracle fixtures)
+    import hashlib
+
+    gimg = (np.arange(24 * 24 * 3, dtype=np.uint64) * 2654435761 % 256).astype(
+        np.uint8
+    ).reshape(24, 24, 3)
+    assert hashlib.sha256(encode_jpeg_progressive(gimg, 2)).hexdigest() == (
+        "6febe56694c306bcdc719813de1df35e6031e4d91228bda4ac7658f2b81d343d"
+    )
+    assert hashlib.sha256(encode_jpeg_baseline(gimg, 2)).hexdigest() == (
+        "914e5d81131155f05b9de86c0c0c886b7cc0fc891f50821cb5667096298886e3"
+    )
+
 
 def test_jpeg_rows_through_phash_and_fidelity(spark):
     """fmt='jpeg' rows flow through the pixels phash path and the PSNR
