@@ -583,7 +583,8 @@ Companion evidence (separate files so this writer cannot clobber them):
 hot-bucket skew bound `BENCH/SKEW.md`; labelled-duplicate P/R/F1
 `BENCH/QUALITY.md`; pure-kernel component scaling `BENCH/COMPONENTS.md`;
 corpus-size sensitivity `BENCH/SENSITIVITY.md` (serial-overhead model:
-why efficiency rises with rows/core toward the ceiling).
+why efficiency rises with rows/core toward the ceiling); dated VM-phase
+ledger for reading single-pass BENCH_r{{N}}.json totals `BENCH/PHASES.md`.
 """)
 
 
