@@ -97,14 +97,31 @@ def run_queries() -> dict:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    spark.stop()
-    return {
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
+    # Degraded-phase disambiguation (BENCH/PHASES.md): when the cold pass
+    # lands in a throttled VM phase (the same code swings 46 -> 145 s with
+    # measured hypervisor steal), a warm second pass separates "the engine
+    # regressed" from "the host was busy" — warm walls are phase-robust
+    # because JIT/codegen/python-pool forks are already paid. The headline
+    # `value` stays the cold pass for cross-round comparability.
+    warm_threshold = float(os.environ.get("SPARK_GRAFT_WARM_THRESHOLD", "75"))
+    if total > warm_threshold:
+        warm = {}
+        for name in headline:
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            warm[name] = round(time.monotonic() - t0, 3)
+            print(f"# warm {name}: {warm[name]}s", file=sys.stderr)
+        out["queries_warm"] = warm
+        out["warm_total"] = round(sum(warm.values()), 3)
+    spark.stop()
+    return out
 
 
 def scaling_worker(
