@@ -258,6 +258,18 @@ def test_jpeg_progressive_decodes_identically_to_baseline():
         base = decode_jpeg_baseline(encode_jpeg_baseline(img, scale))
         prog = decode_jpeg_baseline(encode_jpeg_progressive(img, scale))
         assert np.array_equal(base, prog), (img.shape, scale)
+    # 4:2:0 (the layout most real web progressive JPEGs use): exercises the
+    # sampling-factor interleaved DC order and the per-component
+    # non-interleaved AC grids, including odd dims where the luma grid is
+    # smaller than the MCU-padded grid
+    for shape, scale in [((32, 32, 3), 1), ((24, 33, 3), 1), ((17, 9, 3), 8),
+                         ((31, 47, 3), 2)]:
+        img = (rng.rand(*shape) * 255).astype(np.uint8)
+        base = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, scale, subsampling="420"))
+        prog = decode_jpeg_baseline(
+            encode_jpeg_progressive(img, scale, subsampling="420"))
+        assert np.array_equal(base, prog), (shape, scale, "420")
     # and the near-lossless fidelity invariant holds straight off SOF2 bytes
     img = _smooth_rgb(48, 32)
     assert psnr(img, decode_jpeg_baseline(encode_jpeg_progressive(img, 1))) > 45

@@ -225,14 +225,16 @@ def test_avi_decode_never_hangs_on_garbage(data):
 @given(
     st.integers(1, 36), st.integers(1, 36),
     st.booleans(), st.sampled_from([1, 2, 4, 8]),
+    st.sampled_from(["444", "420"]),
     st.integers(0, 2**32 - 1),
 )
 @settings(max_examples=15, deadline=None)
-def test_progressive_jpeg_equals_baseline_property(h, w, color, scale, seed):
-    """For ANY image content/geometry/quant scale, the progressive (SOF2)
-    encode->decode path reconstructs EXACTLY the baseline encode->decode
-    pixels: both quantize with the same flat tables, and successive
-    approximation is lossless once every refinement scan has landed."""
+def test_progressive_jpeg_equals_baseline_property(h, w, color, scale, sub, seed):
+    """For ANY image content/geometry/quant scale/subsampling, the
+    progressive (SOF2) encode->decode path reconstructs EXACTLY the
+    baseline encode->decode pixels: both quantize the same flat tables
+    over the same planes, and successive approximation is lossless once
+    every refinement scan has landed."""
     import numpy as np
 
     from text_dedup_spark.sources.jpeg import (
@@ -244,6 +246,8 @@ def test_progressive_jpeg_equals_baseline_property(h, w, color, scale, seed):
     rng = np.random.RandomState(seed % (2**31))
     shape = (h, w, 3) if color else (h, w)
     img = rng.randint(0, 256, shape).astype(np.uint8)
-    base = decode_jpeg_baseline(encode_jpeg_baseline(img, scale))
-    prog = decode_jpeg_baseline(encode_jpeg_progressive(img, scale))
+    if not color:
+        sub = "444"  # subsampling is a color-plane concept
+    base = decode_jpeg_baseline(encode_jpeg_baseline(img, scale, subsampling=sub))
+    prog = decode_jpeg_baseline(encode_jpeg_progressive(img, scale, subsampling=sub))
     assert np.array_equal(base, prog)

@@ -610,28 +610,8 @@ def encode_jpeg_baseline(
     lossier); ``subsampling``: '444' or '420' (2x2 box-filtered chroma);
     ``restart_interval``: emit DRI + RSTn every N MCUs when > 0."""
     arr = np.asarray(arr, dtype=np.uint8)
-    gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64)]
-        factors = [(1, 1)]
-    else:
-        rf, gf, bf = (arr[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
-        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
-        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
-        if subsampling == "420":
-            he, we = h + (h & 1), w + (w & 1)
-            cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
-            crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
-            cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-            factors = [(2, 2), (1, 1), (1, 1)]
-        elif subsampling == "444":
-            factors = [(1, 1), (1, 1), (1, 1)]
-        else:
-            raise ValueError(f"unsupported subsampling {subsampling!r}")
-        planes = [y, cb, cr]
+    planes, factors = _split_planes(arr, subsampling)
 
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
@@ -798,40 +778,72 @@ def _enc_ac_refine(writer, block, ss, se, al, state):
             _emit_eobrun(writer, state)
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quant_scale: int = 1) -> bytes:
-    """uint8 (h, w) or (h, w, 3) -> progressive (SOF2) JFIF bytes, 4:4:4.
+def _split_planes(arr: np.ndarray, subsampling: str):
+    """uint8 image -> (planes, factors): grayscale passthrough or YCbCr
+    split with optional 2x2 box-filtered chroma — the exact math of
+    ``encode_jpeg_baseline``, shared so both encoders quantize identical
+    plane bytes (the identity tests depend on it)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        return [arr.astype(np.float64)], [(1, 1)]
+    rf, gf, bf = (arr[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+    cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+    if subsampling == "420":
+        he, we = h + (h & 1), w + (w & 1)
+        cbp = np.pad(cb, ((0, he - h), (0, we - w)), mode="edge")
+        crp = np.pad(cr, ((0, he - h), (0, we - w)), mode="edge")
+        cb = cbp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+        return [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+    if subsampling == "444":
+        return [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quant_scale: int = 1, subsampling: str = "444"
+) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> progressive (SOF2) JFIF bytes,
+    4:4:4 or 4:2:0 (the layout most real web progressive JPEGs use).
 
     Same flat quantization as ``encode_jpeg_baseline``, so after every scan
     is applied the reconstructed coefficients are EXACTLY the baseline
     encoder's coefficients — decode(progressive) == decode(baseline) byte
-    for byte, which the tests assert. The scan script exercises all four
+    for byte, which the tests assert (for 4:2:0 the AC of MCU-padding
+    blocks outside a component's non-interleaved grid stays zero, which
+    only ever touches cropped pixels). The scan script exercises all four
     progressive block-coder paths: interleaved DC first (Al=1), split AC
     bands first (Al=2), two AC refinements (2->1, 1->0), DC refinement."""
     arr = np.asarray(arr, dtype=np.uint8)
-    gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64)]
-    else:
-        rf, gf, bf = (arr[..., i].astype(np.float64) for i in range(3))
-        planes = [
-            0.299 * rf + 0.587 * gf + 0.114 * bf,
-            -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0,
-            0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0,
-        ]
+    planes, factors = _split_planes(arr, subsampling)
     ncomp = len(planes)
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 
     coefs = []
-    for p in planes:
-        padded = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
-        blk = np.zeros((nby, nbx, 64), dtype=np.int64)
-        for by in range(nby):
-            for bx in range(nbx):
+    ni_grid = []  # per component: its non-interleaved (blocks_y, blocks_x)
+    for p, (fh, fv) in zip(planes, factors):
+        nbx_p, nby_p = mcus_x * fh, mcus_y * fv
+        padded = np.pad(
+            p, ((0, nby_p * 8 - p.shape[0]), (0, nbx_p * 8 - p.shape[1])),
+            mode="edge",
+        )
+        blk = np.zeros((nby_p, nbx_p, 64), dtype=np.int64)
+        for by in range(nby_p):
+            for bx in range(nbx_p):
                 block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 c = np.round(_fdct(block) / float(quant_scale)).astype(np.int64)
                 blk[by, bx] = c.ravel()[_ZIGZAG]
         coefs.append(blk)
+        cw = -(-(w * fh) // hmax)
+        ch = -(-(h * fv) // vmax)
+        ni_grid.append(((ch + 7) // 8, (cw + 7) // 8))
 
     q = np.full(64, int(quant_scale), dtype=np.int32)
     out = bytearray(b"\xff\xd8")
@@ -839,7 +851,7 @@ def encode_jpeg_progressive(arr: np.ndarray, quant_scale: int = 1) -> bytes:
     out += _seg(0xDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])  # 4:4:4
+        sof += bytes([c + 1, (factors[c][0] << 4) | factors[c][1], 0])
     out += _seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
     dht = bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
     dht += bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
@@ -862,19 +874,36 @@ def encode_jpeg_progressive(arr: np.ndarray, quant_scale: int = 1) -> bytes:
         writer = _BitWriter()
         state = {"eobrun": 0, "be_bits": []}
         pred = [0] * ncomp
-        for by in range(nby):
-            for bx in range(nbx):
-                for ci in comp_idx:
-                    block = coefs[ci][by, bx]
-                    if ss == 0:
-                        if ah == 0:
-                            _enc_dc_first(writer, block, al, pred, ci)
-                        else:
-                            _enc_dc_refine(writer, block, al)
-                    elif ah == 0:
-                        _enc_ac_first(writer, block, ss, se, al, state)
-                    else:
-                        _enc_ac_refine(writer, block, ss, se, al, state)
+        # block visit order must mirror the decoder's: interleaved MCU
+        # order (all sampling-factor blocks, padding included) for
+        # multi-component DC scans; the component's own non-interleaved
+        # grid otherwise
+        if len(comp_idx) > 1:
+            blocks = [
+                (ci, my * factors[ci][1] + by, mx * factors[ci][0] + bx)
+                for my in range(mcus_y)
+                for mx in range(mcus_x)
+                for ci in comp_idx
+                for by in range(factors[ci][1])
+                for bx in range(factors[ci][0])
+            ]
+        else:
+            ci = comp_idx[0]
+            nby_ni, nbx_ni = ni_grid[ci]
+            blocks = [
+                (ci, by, bx) for by in range(nby_ni) for bx in range(nbx_ni)
+            ]
+        for ci, by, bx in blocks:
+            block = coefs[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    _enc_dc_first(writer, block, al, pred, ci)
+                else:
+                    _enc_dc_refine(writer, block, al)
+            elif ah == 0:
+                _enc_ac_first(writer, block, ss, se, al, state)
+            else:
+                _enc_ac_refine(writer, block, ss, se, al, state)
         if ss != 0:
             _emit_eobrun(writer, state)
         out += writer.flush()
