@@ -494,3 +494,183 @@ def test_corrupt_jpeg_never_escapes_the_flag_seam():
         except (ValueError, NotImplementedError):
             continue
         assert out.shape[0] == 32
+
+
+# --- GIF + BMP codecs (round 3: widen real still-image format coverage) -----
+
+
+def test_gif_codec_roundtrips():
+    """Pure-Python GIF87a/89a codec: lossless round trip for <=256-color
+    images (the encoder contract), interlaced rows, multi-frame animation
+    with full-canvas frames, deterministic quantize for true-color input,
+    and a clean ValueError for garbage."""
+    import hashlib
+
+    from text_dedup_spark.sources.gif import decode_gif, encode_gif, is_gif
+
+    rng = np.random.RandomState(3)
+    for shape in [(1, 1, 3), (7, 5, 3), (33, 17, 3)]:
+        img = (rng.randint(0, 4, shape) * 64).astype(np.uint8)
+        blob = encode_gif(img)
+        assert is_gif(blob)
+        dec = decode_gif(blob)
+        assert dec.shape[0] == 1 and np.array_equal(dec[0], img), shape
+
+    # interlace changes row transmission order, not pixels
+    img = (rng.randint(0, 8, (21, 13, 3)) * 32).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=True))[0], img)
+
+    # animation: every composited frame equals its source frame
+    frames = (rng.randint(0, 6, (5, 16, 24, 3)) * 40).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(frames)), frames)
+
+    # 256 colors exactly still round-trips losslessly
+    grad = np.tile(np.arange(256, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    assert np.array_equal(decode_gif(encode_gif(grad))[0], grad)
+
+    # true-color input: fixed 6x7x6 cube quantize, bounded per-channel error
+    noisy = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+    dec = decode_gif(encode_gif(noisy))[0]
+    assert int(np.abs(dec.astype(np.int16) - noisy.astype(np.int16)).max()) < 52
+
+    # error contract: garbage and truncations raise ValueError, never hang
+    blob = encode_gif(img)
+    for junk in (b"", b"GIF89a", b"notagif!", blob[:20], blob[: len(blob) // 2]):
+        with pytest.raises(ValueError):
+            decode_gif(junk)
+
+    # encoder determinism golden (content-stable ids / oracle fixtures)
+    gimg = (np.arange(24 * 24 * 3, dtype=np.uint64) * 2654435761 % 256).astype(
+        np.uint8
+    ).reshape(24, 24, 3)
+    assert hashlib.sha256(encode_gif(gimg)).hexdigest() == (
+        "68ef60750a6dcf422fe99727e0f9025313247342c41a75725569477968a64155"
+    )
+
+
+def test_gif_transparency_and_disposal():
+    """Hand-built 89a stream: a sub-canvas second frame with a transparent
+    checker composited over frame 1 (disposal=keep) — transparent pixels
+    keep the prior canvas, opaque ones paint."""
+    import struct
+
+    from text_dedup_spark.sources.gif import _lzw_encode, _write_subblocks, decode_gif
+
+    w, h = 8, 6
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    out = bytearray(b"GIF89a") + struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)
+    out += pal.tobytes()
+    idx1 = np.full((h, w), 1, np.uint8)  # all red
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(2)
+    out += _write_subblocks(_lzw_encode(2, idx1.tobytes()))
+    out += b"\x21\xf9" + _write_subblocks(struct.pack("<BHB", 0x05, 4, 3))
+    idx2 = np.array([[2, 3], [3, 2]], np.uint8)  # green / transparent checker
+    out += struct.pack("<BHHHHB", 0x2C, 3, 2, 2, 2, 0)
+    out.append(2)
+    out += _write_subblocks(_lzw_encode(2, idx2.tobytes()))
+    out.append(0x3B)
+
+    fr = decode_gif(bytes(out))
+    assert fr.shape == (2, h, w, 3)
+    assert (fr[0] == [255, 0, 0]).all()
+    assert (fr[1][2, 3] == [0, 255, 0]).all() and (fr[1][3, 4] == [0, 255, 0]).all()
+    assert (fr[1][2, 4] == [255, 0, 0]).all() and (fr[1][3, 3] == [255, 0, 0]).all()
+
+
+def test_bmp_codec_roundtrips():
+    """Pure-Python BMP codec: lossless 24bpp round trip, 8bpp palettized
+    top-down and 32bpp hand-built streams, error contract, determinism."""
+    import hashlib
+    import struct
+
+    from text_dedup_spark.sources.bmp import decode_bmp, encode_bmp, is_bmp
+
+    rng = np.random.RandomState(5)
+    for shape in [(1, 1, 3), (5, 7, 3), (33, 31, 3)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        blob = encode_bmp(img)
+        assert is_bmp(blob)
+        assert np.array_equal(decode_bmp(blob), img), shape
+
+    # 8bpp palettized, top-down (negative height)
+    w, h = 6, 4
+    pal = np.array([[10, 20, 30, 0], [200, 100, 50, 0]], np.uint8)  # BGRX
+    idx = rng.randint(0, 2, (h, w)).astype(np.uint8)
+    stride = (w + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx
+    offset = 14 + 40 + 8
+    data = b"BM" + struct.pack("<IHHI", offset + stride * h, 0, 0, offset)
+    data += struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, stride * h, 0, 0, 2, 0)
+    data += pal.tobytes() + rows.tobytes()
+    assert np.array_equal(decode_bmp(data), pal[:, 2::-1][idx])
+
+    # 32bpp BGRX
+    px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    rows32 = np.zeros((h, w * 4), np.uint8)
+    rows32[:, 0::4], rows32[:, 1::4], rows32[:, 2::4] = (
+        px[:, :, 2], px[:, :, 1], px[:, :, 0],
+    )
+    offset = 14 + 40
+    d = b"BM" + struct.pack("<IHHI", offset + rows32.nbytes, 0, 0, offset)
+    d += struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, rows32.nbytes, 0, 0, 0, 0)
+    d += rows32.tobytes()
+    assert np.array_equal(decode_bmp(d), px)
+
+    blob = encode_bmp(px)
+    for junk in (b"", b"BM", b"BM" + b"\x00" * 30, blob[:40]):
+        with pytest.raises(ValueError):
+            decode_bmp(junk)
+
+    gimg = (np.arange(24 * 24 * 3, dtype=np.uint64) * 2654435761 % 256).astype(
+        np.uint8
+    ).reshape(24, 24, 3)
+    assert hashlib.sha256(encode_bmp(gimg)).hexdigest() == (
+        "1f0e2638d8bd5e24aceaa2c385c5765daf339a06413779c7eac374686eebb474"
+    )
+
+
+def test_gif_bmp_rows_through_phash_and_fidelity(spark):
+    """fmt='gif' / fmt='bmp' rows decode through the same typed seam as
+    png/jpeg: identical pixels -> identical phash across all three
+    containers, and the PSNR fidelity verifier sees them as lossless."""
+    from text_dedup_spark.sources.bmp import encode_bmp
+    from text_dedup_spark.sources.gif import encode_gif
+
+    rows_png, rows_gif, rows_bmp = [], [], []
+    for i in range(5):
+        # quantize to few levels so the GIF palette is exact (lossless)
+        img = (_smooth_rgb(32, 32, seed=11 * i) // 32 * 32).astype(np.uint8)
+        cap = f"caption {i}"
+        rows_png.append((f"im{i}", bytearray(encode_png(img)), 32, 32, "png", cap, 0))
+        rows_gif.append((f"im{i}", bytearray(encode_gif(img)), 32, 32, "gif", cap, 0))
+        rows_bmp.append((f"im{i}", bytearray(encode_bmp(img)), 32, 32, "bmp", cap, 0))
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+    png_df = spark.createDataFrame(rows_png, schema)
+    gif_df = spark.createDataFrame(rows_gif, schema)
+    bmp_df = spark.createDataFrame(rows_bmp, schema)
+
+    def phashes(df):
+        return {
+            r["image_id"]: r["ph"]
+            for r in df.select(
+                "image_id", phash_from_bytes(F.col("bytes"), F.col("fmt")).alias("ph")
+            ).collect()
+        }
+
+    ph = phashes(png_df)
+    assert ph == phashes(gif_df) == phashes(bmp_df)
+
+    # both containers are lossless here: fidelity verifier flags nothing
+    assert verify_fidelity(png_df, gif_df).count() == 0
+    assert verify_fidelity(png_df, bmp_df).count() == 0
+
+    # corrupt GIF/BMP rows follow the flag policy, not a task failure
+    from text_dedup_spark.sources.png import try_decode_image
+
+    assert try_decode_image(b"GIF89a\x00\x01", "gif") is None
+    assert try_decode_image(b"BMtrash", "bmp") is None

@@ -360,3 +360,40 @@ def test_media_undecodable_flag_policy(spark):
     assert got_v[0]["decode_ok"] and got_v[0]["n_frames"] == 2
     assert not got_v[1]["decode_ok"] and got_v[1]["n_frames"] == 0
     assert not got_v[2]["decode_ok"]
+
+
+def test_animated_gif_as_video(spark):
+    """Animated GIF in the video bytes column: per-row magic dispatch sends
+    it through sources/gif.py; identical pixels fingerprint identically to
+    the same frames shipped as AVI DIB (container independence), and GIF
+    clips cluster with their AVI near-duplicates."""
+    from text_dedup_spark.functions.media_udf import frames_fingerprint64
+    from text_dedup_spark.sources.avi import encode_avi
+    from text_dedup_spark.sources.gif import encode_gif
+
+    base_gray = _smooth_frames(4, 24, 24)
+    # color frames with few levels so the GIF palette is exact (lossless);
+    # AVI ships the same RGB as 24bpp DIB -> both decode to the same gray
+    base_rgb = (np.stack([base_gray] * 3, axis=-1) // 16 * 16).astype(np.uint8)
+    near_rgb = np.clip(base_rgb.astype(np.int16) + 16, 0, 255).astype(np.uint8)
+    rng = np.random.RandomState(23)
+    other_rgb = (rng.randint(0, 16, size=(4, 24, 24, 3)) * 16).astype(np.uint8)
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_avi(base_rgb, codec="dib"))),
+            (1, bytearray(encode_gif(base_rgb))),  # same pixels, GIF container
+            (2, bytearray(encode_gif(near_rgb))),
+            (3, bytearray(encode_gif(other_rgb))),
+        ],
+        "clip_id long, bytes binary",
+    )
+    meta = video_meta_table(df)
+    rows = {r["clip_id"]: r for r in meta.collect()}
+    assert rows[1]["n_frames"] == 4 and rows[1]["height"] == 24
+    assert rows[0]["vfp"] == rows[1]["vfp"]  # container-independent pixels
+
+    assigns = media_near_dup_assignments(meta, "vfp", "clip_id")
+    comp = {r["clip_id"]: r["component"] for r in assigns.collect()}
+    assert comp.get(1) == 0  # GIF clip assigned to its AVI twin's component
+    assert 3 not in comp  # unrelated clip stays out

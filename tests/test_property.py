@@ -251,3 +251,46 @@ def test_progressive_jpeg_equals_baseline_property(h, w, color, scale, sub, seed
     base = decode_jpeg_baseline(encode_jpeg_baseline(img, scale, subsampling=sub))
     prog = decode_jpeg_baseline(encode_jpeg_progressive(img, scale, subsampling=sub))
     assert np.array_equal(base, prog)
+
+
+@given(st.binary(max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_gif_bmp_decode_never_hangs_on_garbage(data):
+    """Arbitrary bytes either raise ValueError cleanly or decode — never
+    loop or crash; the operator layer maps raises to decode_ok=false."""
+    from text_dedup_spark.sources.bmp import decode_bmp
+    from text_dedup_spark.sources.gif import decode_gif
+
+    for blob in (data, b"GIF89a" + data, b"BM" + data):
+        try:
+            decode_gif(blob)
+        except ValueError:
+            pass
+        try:
+            decode_bmp(blob)
+        except ValueError:
+            pass
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24), st.integers(1, 3),
+    st.integers(2, 16), st.booleans(), st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_gif_roundtrip_property(h, w, n_frames, n_colors, interlace, seed):
+    """For ANY geometry/frame count/palette size <=256 and either row
+    order, GIF encode->decode reproduces the exact input pixels; BMP
+    (always lossless) round-trips the same frames one by one."""
+    import numpy as np
+
+    from text_dedup_spark.sources.bmp import decode_bmp, encode_bmp
+    from text_dedup_spark.sources.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed % (2**31))
+    palette = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    frames = palette[rng.randint(0, n_colors, (n_frames, h, w))]
+    dec = decode_gif(encode_gif(frames, interlace=interlace))
+    assert dec.shape == frames.shape
+    assert np.array_equal(dec, frames)
+    for f in frames:
+        assert np.array_equal(decode_bmp(encode_bmp(f)), f)

@@ -5,8 +5,9 @@ input_hint pattern): an opaque ``binary`` payload column + typed metadata
 columns, processed by Arrow-batched pandas UDFs over ``mapInPandas``. The
 image path (functions/image_udf.py) is fully real (pure-numpy PNG codec),
 and the most common ARCHIVAL formats of the other two modalities decode
-natively as well: RIFF/WAVE PCM audio (``decode_wav``, below) and RIFF/AVI
-video with uncompressed-DIB or MJPEG frames (sources/avi.py). Only
+natively as well: RIFF/WAVE PCM audio (``decode_wav``, below), RIFF/AVI
+video with uncompressed-DIB or MJPEG frames (sources/avi.py), and animated
+GIF as a frame sequence (sources/gif.py). Only
 *compressed* audio (mp3/ogg/flac) and inter-frame video codecs (H.26x/VPx)
 remain environment-gated:
 
@@ -166,13 +167,19 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 def decode_video_frames(data: bytes) -> np.ndarray:
     """bytes -> uint8 (n, h, w) frames. Dispatch mirrors decode_audio:
     real AVI (pure Python: uncompressed DIB + MJPEG via the in-repo
-    baseline-JPEG decoder, sources/avi.py), the deterministic FVID test
+    baseline-JPEG decoder, sources/avi.py), animated GIF (sources/gif.py,
+    composited frames -> grayscale), the deterministic FVID test
     container, then the import-gated external backend for other codecs."""
     try:
         if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
             from ..sources.avi import decode_avi
 
             return decode_avi(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):  # animated GIF as video
+            from ..sources.avi import _to_gray
+            from ..sources.gif import decode_gif
+
+            return np.stack([_to_gray(f) for f in decode_gif(data)])
         if data[:4] == _FAKE_VIDEO_MAGIC:
             n, h, w = struct.unpack("<III", data[4:16])
             return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)

@@ -90,9 +90,10 @@ def decode_png(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Typed decode entry point for the multimodal column.
 
-    PNG and JPEG (baseline sequential AND progressive SOF2) are real
-    pure-numpy codecs ('jpeg_sim' is the legacy synthetic-lossy PNG
-    container, kept for fixture compat).
+    PNG, JPEG (baseline sequential AND progressive SOF2), GIF (87a/89a
+    incl. animation — first composited frame here; the video path gets
+    every frame) and BMP are real pure-Python codecs ('jpeg_sim' is the
+    legacy synthetic-lossy PNG container, kept for fixture compat).
 
     Error contract: ValueError for any corrupt/truncated stream,
     NotImplementedError for valid-but-unsupported codec features
@@ -110,6 +111,14 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
             from .jpeg import decode_jpeg_baseline
 
             return decode_jpeg_baseline(data)
+        if fmt == "gif":
+            from .gif import decode_gif
+
+            return decode_gif(data)[0]
+        if fmt == "bmp":
+            from .bmp import decode_bmp
+
+            return decode_bmp(data)
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:

@@ -355,3 +355,53 @@ def video_table(
 
     groups = spark.range(n_groups).repartition(max(2, min(64, n_groups)))
     return groups.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+# --- container-parity fixture (round 3: png/jpeg/gif/bmp, same pixels) ------
+
+CONTAINERS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+    ]
+)
+
+
+def image_containers_table(
+    spark: SparkSession, n_images: int = 8, seed: int = 7
+) -> DataFrame:
+    """One deterministic image per id, shipped in all FOUR real container
+    formats the engine decodes natively — png, jpeg (baseline, near-lossless
+    quant_scale=1), gif and bmp — with IDENTICAL pixels per image_id.
+
+    Pixels are pre-quantized to 4 levels per channel (<=64 unique colors)
+    so the GIF palette is exact: png/gif/bmp rows are bit-losslessly
+    decodable and the jpeg row is near-lossless. Used by the
+    `image_container_parity` contract query, whose oracle asserts that one
+    image yields ONE perceptual hash and ONE geometry regardless of which
+    container carried it. Distributed generation, per-row deterministic
+    from (seed, image index) like the other fixtures."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .bmp import encode_bmp
+        from .gif import encode_gif
+        from .jpeg import encode_jpeg_baseline
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                rng = np.random.RandomState((seed * 1_000_003 + int(i)) % (2**31))
+                px = (_base_pixels(rng) // 64 * 64).astype(np.uint8)
+                image_id = f"cim-{int(i):06d}"
+                for fmt, blob in (
+                    ("png", encode_png(px)),
+                    ("jpeg", encode_jpeg_baseline(px, 1)),
+                    ("gif", encode_gif(px)),
+                    ("bmp", encode_bmp(px)),
+                ):
+                    rows.append({"image_id": image_id, "fmt": fmt, "bytes": blob})
+            yield pd.DataFrame(rows, columns=[f.name for f in CONTAINERS_SCHEMA.fields])
+
+    ids = spark.range(n_images).repartition(max(2, min(16, n_images)))
+    return ids.mapInPandas(gen, CONTAINERS_SCHEMA)
