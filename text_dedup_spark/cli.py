@@ -58,7 +58,7 @@ def _add_minhash_args(p: argparse.ArgumentParser, output: bool = True) -> None:
     # names/defaults per utils/add_args.py:54-93
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text"])
+                   choices=["parquet", "json", "csv", "text", "warc"])
     if output:
         p.add_argument("--output", required=True)
         p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
@@ -328,7 +328,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("exact", help="exact-hash dedup")
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text"])
+                   choices=["parquet", "json", "csv", "text", "warc"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
@@ -338,7 +338,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("simhash", help="SimHash near-dedup")
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text"])
+                   choices=["parquet", "json", "csv", "text", "warc"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
@@ -370,7 +370,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("suffix", help="duplicate-substring removal")
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text"])
+                   choices=["parquet", "json", "csv", "text", "warc"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")

@@ -54,4 +54,9 @@ def read_input(
         return spark.read.option("header", "true").csv(path)
     if fmt == "text":
         return read_paragraphs(spark, path, text_col)
+    if fmt == "warc":
+        from .warc import read_warc
+
+        df = read_warc(spark, path)
+        return df if text_col == "text" else df.withColumnRenamed("text", text_col)
     raise ValueError(f"unknown input format {fmt!r}")
