@@ -31,7 +31,12 @@ from text_dedup_spark.operators.exact import exact_assignments, exact_dedup
 from text_dedup_spark.operators.jaccard import jaccard_dedup_edges
 from text_dedup_spark.operators.simhash_dedup import simhash_assignments_from_text
 from text_dedup_spark.operators.suffix import remove_duplicate_substrings
-from text_dedup_spark.operators.textstats import doc_fingerprint, doc_stats, quality_score
+from text_dedup_spark.operators.textstats import (
+    doc_fingerprint,
+    doc_stats,
+    quality_score,
+    repetition_stats,
+)
 from text_dedup_spark.plans.minhash_pipeline import minhash_dedup
 
 MINHASH_CFG = MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7)
@@ -98,6 +103,22 @@ def q_quality_score(spark, sf_dir):
 
 def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (dup-line + top-n-gram fractions);
+    self-plants repetition by appending each doc's first 3 tokens so the
+    gram fractions vary (the driver corpus is one-line word soup)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return repetition_stats(d, "text", "doc_id")
 
 
 def q_lang_summary(spark, sf_dir):
@@ -545,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "repetition_stats": q_repetition_stats,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -709,6 +731,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # same self-planting as q_repetition_stats: doc + first-3-token line
+        # + doc again, so dup-line and top-n-gram fractions are non-trivial
+        "repetition_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') ||
+                     chr(10) || text AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM d, unnest(string_split(text, chr(10))) AS u(l)
+              WHERE trim(l) <> ''
+            ),
+            lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+                   FROM lines GROUP BY doc_id, line),
+            ls AS (SELECT doc_id,
+                          CAST(sum(c) AS BIGINT) AS n_lines,
+                          CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+                          CAST(sum((c - 1) * len) AS BIGINT) AS dupc,
+                          CAST(sum(c * len) AS BIGINT) AS totc
+                   FROM lc GROUP BY doc_id),
+            tc AS (SELECT doc_id,
+                          list_transform(regexp_extract_all(text, '[A-Za-z_0-9]+'),
+                                         w -> lower(w)) AS ts,
+                          coalesce(CAST(list_sum(list_transform(
+                              list_transform(regexp_extract_all(text, '[A-Za-z_0-9]+'),
+                                             w -> lower(w)),
+                              t -> length(t))) AS BIGINT), 0) AS tchars
+                   FROM d),
+            g2 AS (SELECT doc_id, g, count(*) AS c FROM tc,
+                   unnest(list_transform(range(1, len(ts)),
+                                         i -> ts[i] || ' ' || ts[i + 1])) AS u(g)
+                   GROUP BY doc_id, g),
+            b2 AS (SELECT doc_id, CAST(max(c * (length(g) - 1)) AS BIGINT) AS best
+                   FROM g2 GROUP BY doc_id),
+            g3 AS (SELECT doc_id, g, count(*) AS c FROM tc,
+                   unnest(list_transform(range(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS u(g)
+                   GROUP BY doc_id, g),
+            b3 AS (SELECT doc_id, CAST(max(c * (length(g) - 2)) AS BIGINT) AS best
+                   FROM g3 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(ls.n_lines, 0) AS INT) AS n_lines,
+                   round(CASE WHEN coalesce(ls.n_lines, 0) > 0
+                         THEN least(ls.n_dup::DOUBLE / ls.n_lines, 1.0)
+                         ELSE 0.0 END, 4) AS dup_line_frac,
+                   round(CASE WHEN coalesce(ls.totc, 0) > 0
+                         THEN least(ls.dupc::DOUBLE / ls.totc, 1.0)
+                         ELSE 0.0 END, 4) AS dup_line_char_frac,
+                   round(CASE WHEN tc.tchars > 0 AND b2.best IS NOT NULL
+                         THEN least(b2.best::DOUBLE / tc.tchars, 1.0)
+                         ELSE 0.0 END, 4) AS top_2gram_char_frac,
+                   round(CASE WHEN tc.tchars > 0 AND b3.best IS NOT NULL
+                         THEN least(b3.best::DOUBLE / tc.tchars, 1.0)
+                         ELSE 0.0 END, 4) AS top_3gram_char_frac
+            FROM d
+            LEFT JOIN ls USING (doc_id)
+            LEFT JOIN tc ON d.doc_id = tc.doc_id
+            LEFT JOIN b2 ON d.doc_id = b2.doc_id
+            LEFT JOIN b3 ON d.doc_id = b3.doc_id
         """,
         "lang_summary": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars

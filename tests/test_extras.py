@@ -14,7 +14,12 @@ from text_dedup_spark.operators.ann import (
     lsh_topk,
 )
 from text_dedup_spark.operators.jaccard import jaccard_dedup_edges, shingles_expr, verify_pairs
-from text_dedup_spark.operators.textstats import doc_fingerprint, doc_stats, quality_score
+from text_dedup_spark.operators.textstats import (
+    doc_fingerprint,
+    doc_stats,
+    quality_score,
+    repetition_stats,
+)
 
 
 def test_doc_stats_basic(spark):
@@ -29,6 +34,86 @@ def test_doc_stats_basic(spark):
     assert rows[1]["stopword_ratio"] == round(1 / 5, 4)  # 'The'
     assert rows[2]["n_tokens"] == 0 and rows[2]["avg_token_len"] == 0.0
     assert rows[3]["avg_token_len"] == 1.0
+
+
+def _repetition_oracle(text):
+    """Pure-Python restatement of the repetition_stats definitions."""
+    import re
+    from collections import Counter
+
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup = n_lines - len(lc)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+    toks = [t.lower() for t in re.findall(r"[A-Za-z_0-9]+", text)]
+    tok_chars = sum(len(t) for t in toks)
+
+    def top(n):
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        best = max(
+            (c * (len(g) - (n - 1)) for g, c in grams.items()), default=0
+        )
+        return round(min(best / tok_chars, 1.0), 4) if tok_chars else 0.0
+
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": round(dup / n_lines, 4) if n_lines else 0.0,
+        "dup_line_char_frac": round(dup_chars / line_chars, 4) if line_chars else 0.0,
+        "top_2gram_char_frac": top(2),
+        "top_3gram_char_frac": top(3),
+    }
+
+
+def test_repetition_stats_planted(spark):
+    docs = [
+        (1, "a b\na b\nc d"),                 # duplicate line
+        (2, "foo bar foo bar foo bar baz"),   # dominant 2-gram
+        (3, ""),                              # empty doc
+        (4, "single"),                        # < 2 tokens: gram fracs 0
+        (5, "x\n  \nx\ny"),                   # whitespace-only line dropped
+        (6, "spam spam spam spam spam"),      # max repetition
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "text", "doc_id").collect()}
+    for did, text in docs:
+        want = _repetition_oracle(text)
+        for k, v in want.items():
+            assert got[did][k] == v, (did, k, got[did][k], v)
+    # planted expectations, independent of the oracle restatement
+    assert got[1]["dup_line_frac"] == round(1 / 3, 4)
+    assert got[2]["top_2gram_char_frac"] == round(18 / 21, 4)
+    assert got[6]["top_2gram_char_frac"] == 1.0  # overlapping runs clamp
+    assert got[3] == {
+        "doc_id": 3, "n_lines": 0, "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0, "top_2gram_char_frac": 0.0,
+        "top_3gram_char_frac": 0.0,
+    }
+
+
+def test_repetition_stats_random_vs_oracle(spark):
+    rng = random.Random(7)
+    vocab = ["aa", "b", "ccc", "dddd", "e_1", "f2"]
+    docs = []
+    for i in range(60):
+        n_ln = rng.randint(0, 6)
+        lns = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+            for _ in range(n_ln)
+        ]
+        if lns and rng.random() < 0.5:
+            lns.append(rng.choice(lns))  # plant a duplicate line
+        docs.append((i, "\n".join(lns)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "text", "doc_id").collect()}
+    for did, text in docs:
+        want = _repetition_oracle(text)
+        for k, v in want.items():
+            assert got[did][k] == v, (did, k, got[did][k], v)
 
 
 def test_quality_and_fingerprint(spark):

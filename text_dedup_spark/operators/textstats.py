@@ -77,6 +77,104 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _dup_char_sum(sorted_arr: str) -> str:
+    """SQL expr: total characters of repeat occurrences (2nd+ of an
+    identical element) in a SORTED string array — linear adjacent-equal
+    fold, no quadratic membership tests."""
+    return f"""
+      aggregate({sorted_arr},
+        named_struct('prev', cast(null as string), 'dupc', cast(0 as bigint)),
+        (acc, x) -> named_struct(
+          'prev', x,
+          'dupc', acc.dupc + if(acc.prev is not null and x = acc.prev,
+                                cast(length(x) as bigint), cast(0 as bigint))),
+        acc -> acc.dupc)
+    """
+
+
+def _top_run_weight(sorted_arr: str, sep_chars: int) -> str:
+    """SQL expr: max over distinct elements of count(elem) * (length(elem)
+    - sep_chars) in a SORTED string array — run-length fold. `sep_chars`
+    removes the n-gram joiner spaces so the weight counts token chars only."""
+    return f"""
+      aggregate({sorted_arr},
+        named_struct('prev', cast(null as string), 'run', 0,
+                     'best', cast(0 as bigint)),
+        (acc, x) -> named_struct(
+          'prev', x,
+          'run', if(acc.prev is not null and x = acc.prev, acc.run + 1, 1),
+          'best', greatest(acc.best,
+            cast(if(acc.prev is not null and x = acc.prev, acc.run + 1, 1)
+                 * (length(x) - {sep_chars}) as bigint))),
+        acc -> acc.best)
+    """
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models", Table A1 — the standard pretraining repetition filters the
+    reference's dedup pipeline sits next to), per document:
+
+    - ``n_lines``: non-empty trimmed '\\n'-separated lines
+    - ``dup_line_frac``: repeat line occurrences / all line occurrences
+    - ``dup_line_char_frac``: chars in repeat line occurrences / chars in
+      all line occurrences
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: for the most
+      repeated lowercase word n-gram, count * (token chars in the gram)
+      / total token chars
+
+    All fractions round to 4 decimals (engine/oracle hash agreement); all
+    0.0 on empty / too-short docs.
+
+    Scale shape: pure Catalyst higher-order expressions — per-row compute,
+    ZERO shuffle (no explode+groupBy re-aggregation). Repetition counting
+    is sort + one linear adjacent-equal fold per array, so cost is
+    O(L log L) in the doc's own line/token count, embarrassingly parallel
+    at any corpus size."""
+    t, i = text_col, id_col
+    lines = f"filter(transform(split({t}, '\\n'), x -> trim(x)), x -> x != '')"
+    toks = f"transform(regexp_extract_all({t}, '{TOKEN_RE}', 0), w -> lower(w))"
+    # zip_with pads the shorter side with null -> concat yields null -> filter;
+    # avoids element_at, which throws out-of-bounds under ANSI mode
+    g2 = (
+        f"filter(zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 0)),"
+        f" (a, b) -> concat(a, ' ', b)), g -> g is not null)"
+    )
+    g3 = (
+        f"filter(zip_with({g2}, slice({toks}, 3, greatest(size({toks}) - 2, 0)),"
+        f" (a, b) -> concat(a, ' ', b)), g -> g is not null)"
+    )
+    n_lines = F.expr(f"size({lines})")
+    n_dup = n_lines - F.expr(f"size(array_distinct({lines}))")
+    line_chars = F.expr(
+        f"aggregate({lines}, cast(0 as bigint), (acc, x) -> acc + length(x))"
+    )
+    dup_chars = F.expr(_dup_char_sum(f"array_sort({lines})"))
+    tok_chars = F.expr(
+        f"aggregate({toks}, cast(0 as bigint), (acc, x) -> acc + length(x))"
+    )
+    best2 = F.expr(_top_run_weight(f"array_sort({g2})", 1))
+    best3 = F.expr(_top_run_weight(f"array_sort({g3})", 2))
+
+    def frac(num, den):
+        # least(1.0): overlapping self-similar n-grams ("spam spam spam")
+        # can cover more weighted chars than the doc has — clamp so the
+        # signal stays a fraction
+        return F.round(
+            F.when(den > 0, F.least(num.cast("double") / den, F.lit(1.0))).otherwise(0.0),
+            4,
+        )
+
+    return df.select(
+        F.col(i),
+        n_lines.alias("n_lines"),
+        frac(n_dup, n_lines).alias("dup_line_frac"),
+        frac(dup_chars, line_chars).alias("dup_line_char_frac"),
+        frac(best2, tok_chars).alias("top_2gram_char_frac"),
+        frac(best3, tok_chars).alias("top_3gram_char_frac"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit-equivalent content fingerprint as the first 16 hex chars of
     md5 — stable across engines; duplicate fingerprints == exact duplicates
