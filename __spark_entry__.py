@@ -31,6 +31,7 @@ from text_dedup_spark.operators.exact import exact_assignments, exact_dedup
 from text_dedup_spark.operators.jaccard import jaccard_dedup_edges
 from text_dedup_spark.operators.simhash_dedup import simhash_assignments_from_text
 from text_dedup_spark.operators.suffix import remove_duplicate_substrings
+from text_dedup_spark.operators.decontaminate import decontaminate
 from text_dedup_spark.operators.textstats import (
     doc_fingerprint,
     doc_stats,
@@ -119,6 +120,17 @@ def q_repetition_stats(spark, sf_dir):
         ).alias("text"),
     )
     return repetition_stats(d, "text", "doc_id")
+
+
+def q_decontaminated_docs(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Llama 13-gram rule): docs with
+    doc_id % 97 == 0 stand in for the eval suite; every corpus doc is
+    flagged when it shares any lowercased word 13-gram with that set."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, "text", "doc_id", n=13).select(
+        "doc_id", "contaminated", "n_contaminated_grams"
+    )
 
 
 def q_lang_summary(spark, sf_dir):
@@ -567,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_stats": q_repetition_stats,
+        "decontaminated_docs": q_decontaminated_docs,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -731,6 +744,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # benchmark = doc_id % 97 == 0 docs; contamination = any shared
+        # lowercased word 13-gram (distinct per doc, mirroring the engine's
+        # array_distinct shingles)
+        "decontaminated_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[A-Za-z_0-9]+'),
+                                    w -> lower(w)) AS ts
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, gram
+              FROM toks, unnest(list_transform(range(1, len(ts) - 11),
+                   i -> array_to_string(list_slice(ts, i, i + 12), ' '))) AS u(gram)
+            ),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (SELECT doc_id, CAST(count(*) AS INT) AS n
+                     FROM g JOIN bg USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(hits.n, 0) > 0 AS contaminated,
+                   coalesce(hits.n, 0) AS n_contaminated_grams
+            FROM documents d LEFT JOIN hits USING (doc_id)
         """,
         # same self-planting as q_repetition_stats: doc + first-3-token line
         # + doc again, so dup-line and top-n-gram fractions are non-trivial
