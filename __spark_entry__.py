@@ -32,6 +32,7 @@ from text_dedup_spark.operators.jaccard import jaccard_dedup_edges
 from text_dedup_spark.operators.simhash_dedup import simhash_assignments_from_text
 from text_dedup_spark.operators.suffix import remove_duplicate_substrings
 from text_dedup_spark.operators.decontaminate import decontaminate
+from text_dedup_spark.operators.lines import dedup_lines
 from text_dedup_spark.operators.textstats import (
     doc_fingerprint,
     doc_stats,
@@ -131,6 +132,22 @@ def q_decontaminated_docs(spark, sf_dir):
     return decontaminate(docs, bench, "text", "doc_id", n=13).select(
         "doc_id", "contaminated", "n_contaminated_grams"
     )
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup; self-plants multi-line docs:
+    first-4-token prefix line (collides across docs) + the original text +
+    a constant boilerplate footer (collides everywhere)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " "),
+            F.col("text"),
+            F.lit("standard boilerplate footer"),
+        ).alias("text"),
+    )
+    return dedup_lines(d, "text", "doc_id")
 
 
 def q_lang_summary(spark, sf_dir):
@@ -580,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_stats": q_repetition_stats,
         "decontaminated_docs": q_decontaminated_docs,
+        "line_dedup": q_line_dedup,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -744,6 +762,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # same planting as q_line_dedup: prefix line + original + constant
+        # footer; keep = globally-first (doc_id, pos) per trimmed-lowered key
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+                     || chr(10) || text || chr(10)
+                     || 'standard boilerplate footer' AS text
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+            lines AS (
+              SELECT doc_id, pos, ls[pos] AS line, trim(lower(ls[pos])) AS key
+              FROM dl, unnest(range(1, len(ls) + 1)) AS u(pos)
+            ),
+            marked AS (
+              SELECT doc_id, pos, line,
+                     CASE WHEN key = '' THEN TRUE
+                          ELSE row_number() OVER
+                               (PARTITION BY key ORDER BY doc_id, pos) = 1
+                     END AS keep
+              FROM lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS INT)
+                       AS n_lines_removed
+            FROM marked GROUP BY doc_id
         """,
         # benchmark = doc_id % 97 == 0 docs; contamination = any shared
         # lowercased word 13-gram (distinct per doc, mirroring the engine's
