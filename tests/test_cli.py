@@ -145,3 +145,47 @@ def test_pyfiles_zip_self_contained(tmp_path):
         capture_output=True, text=True, cwd=str(tmp_path), check=True,
     )
     assert "zip-ok" in out.stdout
+
+
+def test_cli_line_dedup(spark, tmp_path):
+    path = str(tmp_path / "lined")
+    spark.createDataFrame(
+        [(1, "keep me\nshared footer"), (2, "other\nshared footer")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "out")
+    _run(["line-dedup", "--input", path, "--output", out,
+          "--column", "text", "--id_column", "doc_id"])
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["text"] == "keep me\nshared footer"
+    assert rows[2]["text"] == "other" and rows[2]["n_lines_removed"] == 1
+
+
+def test_cli_decontaminate(spark, corpus_path, tmp_path):
+    bench_path = str(tmp_path / "bench")
+    # benchmark = 5 corpus docs verbatim -> those docs must land in removed
+    bench = spark.read.parquet(corpus_path).where("doc_id % 13 = 0").select("text")
+    bench = bench.where("length(text) > 40")
+    n_bench = bench.count()
+    bench.write.mode("overwrite").parquet(bench_path)
+    out = str(tmp_path / "out")
+    _run(["decontaminate", "--input", corpus_path, "--benchmark", bench_path,
+          "--output", out, "--column", "text", "--id_column", "doc_id",
+          "--ngram_size", "5"])
+    kept = spark.read.parquet(f"{out}/kept")
+    removed = spark.read.parquet(f"{out}/removed")
+    total = spark.read.parquet(corpus_path).count()
+    assert kept.count() + removed.count() == total
+    assert removed.count() >= n_bench  # at least the benchmark docs themselves
+    assert "contaminated" not in kept.columns
+    assert removed.where("n_contaminated_grams <= 0").count() == 0
+
+
+def test_cli_quality_stats(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "out")
+    _run(["quality-stats", "--input", corpus_path, "--output", out,
+          "--column", "text", "--id_column", "doc_id"])
+    df = spark.read.parquet(out)
+    assert df.count() == spark.read.parquet(corpus_path).count()
+    for c in ("n_tokens", "quality", "top_2gram_char_frac", "dup_line_frac"):
+        assert c in df.columns

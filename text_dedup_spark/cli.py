@@ -275,6 +275,63 @@ def cmd_suffix(args) -> None:
         spark.stop()
 
 
+def cmd_line_dedup(args) -> None:
+    from .operators.ids import ID, assign_unique_ids
+    from .operators.lines import dedup_lines
+
+    spark, _own = _session("text-dedup-lines")
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    _write(dedup_lines(df, args.column, id_col), args.output, args.output_format)
+    if _own:
+        spark.stop()
+
+
+def cmd_decontaminate(args) -> None:
+    from .operators.decontaminate import decontaminate
+    from .operators.ids import ID, assign_unique_ids
+
+    spark, _own = _session("text-dedup-decontaminate")
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    bench = _read(spark, args.benchmark, args.benchmark_format)
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    out = decontaminate(
+        df, bench, args.column, id_col,
+        bench_text_col=args.benchmark_column, n=args.ngram_size,
+    )
+    _write(out.where("NOT contaminated").drop("contaminated", "n_contaminated_grams"),
+           f"{args.output}/kept", args.output_format)
+    _write(out.where("contaminated"), f"{args.output}/removed", args.output_format)
+    if _own:
+        spark.stop()
+
+
+def cmd_quality_stats(args) -> None:
+    from .operators.ids import ID, assign_unique_ids
+    from .operators.textstats import doc_stats, quality_score, repetition_stats
+
+    spark, _own = _session("text-dedup-quality")
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    out = (
+        doc_stats(df, args.column, id_col)
+        .join(quality_score(df, args.column, id_col), id_col)
+        .join(repetition_stats(df, args.column, id_col), id_col)
+    )
+    _write(out, args.output, args.output_format)
+    if _own:
+        spark.stop()
+
+
 def build_parser() -> argparse.ArgumentParser:
     top = argparse.ArgumentParser(prog="text_dedup_spark")
     sub = top.add_subparsers(dest="cmd", required=True)
@@ -378,6 +435,51 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--global_scope", action="store_true")
     p.set_defaults(fn=cmd_suffix)
+
+    p = sub.add_parser(
+        "line-dedup",
+        help="corpus-wide line dedup (CCNet-style keep-first boilerplate strip)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text", "warc"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.set_defaults(fn=cmd_line_dedup)
+
+    p = sub.add_parser(
+        "decontaminate",
+        help="benchmark n-gram decontamination (GPT-3/Llama 13-gram rule)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text", "warc"])
+    p.add_argument("--benchmark", required=True)
+    p.add_argument("--benchmark_format", default="parquet",
+                   choices=["parquet", "json", "csv", "text", "warc"])
+    p.add_argument("--benchmark_column", default="text")
+    p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.add_argument("--ngram_size", type=int, default=13)
+    p.set_defaults(fn=cmd_decontaminate)
+
+    p = sub.add_parser(
+        "quality-stats",
+        help="per-doc quality/repetition signal table (doc_stats + quality + "
+        "Gopher repetition fractions)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text", "warc"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.set_defaults(fn=cmd_quality_stats)
 
     return top
 
