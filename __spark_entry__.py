@@ -134,6 +134,51 @@ def q_decontaminated_docs(spark, sf_dir):
     )
 
 
+def q_prefix_dedup_best_survivor(spark, sf_dir):
+    """Survivor-selection policy: cluster by lowercased 8-token prefix
+    (each doc is planted with an EXTENDED copy sharing its prefix), then
+    keep the LONGEST member instead of the min id — reassign_survivors
+    rewrites the min-id assignment table, ties to the smaller id."""
+    from text_dedup_spark.operators.apply import reassign_survivors
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail appended marker tokens")).alias("text"),
+        )
+    )
+    keyed = planted.withColumn(
+        "__k__",
+        F.array_join(F.slice(F.split(F.lower(F.col("text")), " "), 1, 8), " "),
+    )
+    roots = keyed.groupBy("__k__").agg(F.min("doc_id").alias("component"))
+    assigns = (
+        keyed.join(roots, "__k__")
+        .where(F.col("doc_id") != F.col("component"))
+        .select("doc_id", "component")
+    )
+    scores = planted.select("doc_id", F.length("text").alias("score"))
+    return reassign_survivors(assigns, scores, "doc_id", "score").select(
+        "doc_id", F.col("component").alias("kept_id")
+    )
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Per-language token-budget sampling (2000 tokens/lang, prefix rule);
+    bucket_size=64 forces the two-level distributed prefix sum across ~8
+    id-range buckets even at sf0.01."""
+    from text_dedup_spark.operators.sampling import sample_token_budget
+
+    return sample_token_budget(
+        _docs(spark, sf_dir).select("doc_id", "lang", "text"),
+        "text",
+        "doc_id",
+        2000,
+        bucket_size=64,
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
 def q_line_dedup(spark, sf_dir):
     """CCNet-style corpus-wide line dedup; self-plants multi-line docs:
     first-4-token prefix line (collides across docs) + the original text +
@@ -598,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontaminated_docs": q_decontaminated_docs,
         "line_dedup": q_line_dedup,
+        "prefix_dedup_best_survivor": q_prefix_dedup_best_survivor,
+        "token_budget_sample": q_token_budget_sample,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -762,6 +809,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # prefix rule: cum is monotone, so <= budget picks the maximal
+        # id-ordered prefix per language — one plain window restates the
+        # engine's two-level bucketed prefix sum
+        "token_budget_sample": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z_0-9]+')) AS INT)
+                         AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens <= 2000
+        """,
+        # clusters = shared lowercased 8-token prefix over docs + extended
+        # copies; survivor = longest member (ties -> min id); output rows =
+        # non-surviving members only (roots-absent invariant)
+        "prefix_dedup_best_survivor": f"""
+            WITH p AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {ID_SHIFT} AS doc_id,
+                     text || ' tail appended marker tokens' AS text
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, length(text) AS len,
+                     array_to_string(list_slice(string_split(lower(text), ' '),
+                                                1, 8), ' ') AS key
+              FROM p
+            ),
+            surv AS (
+              SELECT doc_id, key,
+                     first_value(doc_id) OVER
+                       (PARTITION BY key ORDER BY len DESC, doc_id ASC) AS kept_id,
+                     count(*) OVER (PARTITION BY key) AS n
+              FROM k
+            )
+            SELECT doc_id, kept_id FROM surv
+            WHERE n > 1 AND doc_id <> kept_id
         """,
         # same planting as q_line_dedup: prefix line + original + constant
         # footer; keep = globally-first (doc_id, pos) per trimmed-lowered key

@@ -513,3 +513,28 @@ def test_lsh_topk_with_tied_corpus_groups(spark):
         assert have[key][0] == nid, (key, have[key], nid)
         assert abs(have[key][1] - score) < 1e-9
     df.unpersist()
+
+
+def test_reassign_survivors_best_score(spark):
+    from text_dedup_spark.operators.apply import reassign_survivors, split_survivors
+
+    # clusters: {1,2,3} (min-id root 1), {10,11}; 99 is a singleton
+    assigns = spark.createDataFrame(
+        [(2, 1), (3, 1), (11, 10)], "doc_id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 7.0), (99, 0.0)],
+        "doc_id long, score double",
+    )
+    out = reassign_survivors(assigns, scores, "doc_id", "score")
+    rows = {r["doc_id"]: r["component"] for r in out.collect()}
+    # cluster 1: best score 9.0 tie between 2 and 3 -> min id 2 survives
+    assert rows == {1: 2, 3: 2, 10: 11}
+    # roots-absent invariant holds -> split_survivors keeps exactly the best
+    df = scores.select("doc_id")
+    kept, removed = split_survivors(df, out, "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {2, 11, 99}
+    # ascending policy: keep the WORST score (min), ties -> min id
+    out2 = reassign_survivors(assigns, scores, "doc_id", "score", descending=False)
+    rows2 = {r["doc_id"]: r["component"] for r in out2.collect()}
+    assert rows2 == {2: 1, 3: 1, 11: 10}

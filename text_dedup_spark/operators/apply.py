@@ -36,6 +36,52 @@ def split_survivors(
     return kept, removed
 
 
+def reassign_survivors(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = ID,
+    score_col: str = "score",
+    descending: bool = True,
+) -> DataFrame:
+    """Rewrite a min-id assignment table so each cluster keeps its
+    BEST-SCORING member instead of its smallest id — the curation policy a
+    real pipeline wants ("keep the longest / highest-quality duplicate"),
+    which the reference hard-codes away as min-id (minhash_spark.py
+    component min). ``scores`` is (id_col, score_col[numeric]); ties break
+    to the smallest id so results stay partitioning-independent.
+
+    Returns the same roots-absent schema (id_col, component) where
+    ``component`` is now the surviving member's id — drop-in for
+    ``split_survivors``. Singleton docs never appear in ``assignments``
+    and are unaffected.
+
+    Scale shape: membership = assignments + their components (duplicates
+    only, << corpus); one join to fetch scores (broadcast-able when the
+    duplicate set is small, AQE decides), one groupBy(component) with a
+    map-side-partial ``max_by`` — no corpus-wide shuffle."""
+    members = (
+        assignments.select(id_col, "component")
+        .unionAll(
+            assignments.select(
+                F.col("component").alias(id_col), "component"
+            )
+        )
+        .distinct()
+    )
+    sign = F.col(score_col) if descending else -F.col(score_col)
+    scored = members.join(
+        scores.select(id_col, score_col), id_col
+    ).withColumn("__ord__", F.struct(sign.alias("s"), (-F.col(id_col)).alias("i")))
+    survivors = scored.groupBy("component").agg(
+        F.expr(f"max_by({id_col}, __ord__)").alias("__surv__")
+    )
+    return (
+        members.join(survivors, "component")
+        .where(F.col(id_col) != F.col("__surv__"))
+        .select(id_col, F.col("__surv__").alias("component"))
+    )
+
+
 def keep_survivors(df: DataFrame, assignments: DataFrame, id_col: str = ID) -> DataFrame:
     return split_survivors(df, assignments, id_col)[0]
 
