@@ -164,6 +164,25 @@ def q_prefix_dedup_best_survivor(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction audit: plants one email / IPv4 / SSN / phone derived
+    from doc_id into every doc, then redacts and counts."""
+    from text_dedup_spark.operators.pii import redact_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 ssn 123-45-6789 call +1-555-0134"),
+        ).alias("text"),
+    )
+    return redact_pii(d, "text", "doc_id")
+
+
 def q_token_budget_sample(spark, sf_dir):
     """Per-language token-budget sampling (2000 tokens/lang, prefix rule);
     bucket_size=64 forces the two-level distributed prefix sum across ~8
@@ -645,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "prefix_dedup_best_survivor": q_prefix_dedup_best_survivor,
         "token_budget_sample": q_token_budget_sample,
+        "pii_redaction": q_pii_redaction,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -809,6 +829,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # same planting as q_pii_redaction; patterns are the common
+        # Java-regex / RE2 subset so both engines replay them verbatim
+        # (DuckDB regexp_replace needs the 'g' flag to match Spark's
+        # replace-all)
+        "pii_redaction": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' u' || doc_id || '@ex.com 10.0.'
+                          || (doc_id % 250)
+                          || '.7 ssn 123-45-6789 call +1-555-0134' AS text
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, text,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                  AS n_email,
+                CAST(len(regexp_extract_all(text,
+                  '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+                CAST(len(regexp_extract_all(text,
+                  '\+\d{1,2}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+                CAST(len(regexp_extract_all(text,
+                  '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4
+              FROM d
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+                       '\+\d{1,2}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                     '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text,
+                   n_email, n_ssn, n_phone, n_ipv4,
+                   n_email + n_ssn + n_phone + n_ipv4 AS n_pii
+            FROM c
         """,
         # prefix rule: cum is monotone, so <= budget picks the maximal
         # id-ordered prefix per language — one plain window restates the

@@ -189,3 +189,17 @@ def test_cli_quality_stats(spark, corpus_path, tmp_path):
     assert df.count() == spark.read.parquet(corpus_path).count()
     for c in ("n_tokens", "quality", "top_2gram_char_frac", "dup_line_frac"):
         assert c in df.columns
+
+
+def test_cli_redact_pii(spark, tmp_path):
+    path = str(tmp_path / "piid")
+    spark.createDataFrame(
+        [(1, "reach me at a.b@example.org or 10.1.2.3")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "out")
+    _run(["redact-pii", "--input", path, "--output", out,
+          "--column", "text", "--id_column", "doc_id"])
+    row = spark.read.parquet(out).collect()[0]
+    assert row["text"] == "reach me at <EMAIL> or <IP>"
+    assert row["n_email"] == 1 and row["n_ipv4"] == 1 and row["n_pii"] == 2

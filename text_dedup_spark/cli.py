@@ -332,6 +332,21 @@ def cmd_quality_stats(args) -> None:
         spark.stop()
 
 
+def cmd_redact_pii(args) -> None:
+    from .operators.ids import ID, assign_unique_ids
+    from .operators.pii import redact_pii
+
+    spark, _own = _session("text-dedup-pii")
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    _write(redact_pii(df, args.column, id_col), args.output, args.output_format)
+    if _own:
+        spark.stop()
+
+
 def build_parser() -> argparse.ArgumentParser:
     top = argparse.ArgumentParser(prog="text_dedup_spark")
     sub = top.add_subparsers(dest="cmd", required=True)
@@ -480,6 +495,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
     p.set_defaults(fn=cmd_quality_stats)
+
+    p = sub.add_parser(
+        "redact-pii",
+        help="replace emails/IPv4/SSN/phone with placeholder tokens + "
+        "per-doc hit counts",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text", "warc"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--column", default="text")
+    p.add_argument("--id_column", default=None)
+    p.set_defaults(fn=cmd_redact_pii)
 
     return top
 
