@@ -164,6 +164,38 @@ def q_prefix_dedup_best_survivor(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level cluster table: messy planted URLs
+    (upper-case scheme/host, www, :80, utm params, fragment) canonicalize
+    down to (doc_id%7, %50, %5) groups; component = min doc_id per
+    canonical URL. The oracle derives the canonical form INDEPENDENTLY
+    (direct construction, not a regex replay), so green = the whole
+    canonicalization chain, not just engine parity."""
+    from text_dedup_spark.operators.urls import canonical_url_expr, domain_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80/page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=x&ref="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("#sec"),
+        ).alias("url"),
+    )
+    keyed = d.select(
+        "doc_id",
+        canonical_url_expr(F.col("url")).alias("canonical_url"),
+        domain_expr(F.col("url")).alias("domain"),
+    )
+    roots = keyed.groupBy("canonical_url").agg(F.min("doc_id").alias("component"))
+    return keyed.join(roots, "canonical_url").select(
+        "doc_id", "canonical_url", "domain", "component"
+    )
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII redaction audit: plants one email / IPv4 / SSN / phone derived
     from doc_id into every doc, then redacts and counts."""
@@ -665,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dedup_best_survivor": q_prefix_dedup_best_survivor,
         "token_budget_sample": q_token_budget_sample,
         "pii_redaction": q_pii_redaction,
+        "url_dedup_clusters": q_url_dedup,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -829,6 +862,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # INDEPENDENT oracle: the canonical form is constructed directly
+        # from doc_id, so a hash match proves the engine's regex
+        # canonicalization chain end-to-end
+        "url_dedup_clusters": """
+            WITH c AS (
+              SELECT doc_id,
+                     'http://site' || (doc_id % 7) || '.com/page/'
+                         || (doc_id % 50) || '?ref=' || (doc_id % 5)
+                         AS canonical_url,
+                     'site' || (doc_id % 7) || '.com' AS domain
+              FROM documents
+            )
+            SELECT doc_id, canonical_url, domain,
+                   min(doc_id) OVER (PARTITION BY canonical_url) AS component
+            FROM c
         """,
         # same planting as q_pii_redaction; patterns are the common
         # Java-regex / RE2 subset so both engines replay them verbatim
