@@ -164,6 +164,62 @@ def q_prefix_dedup_best_survivor(spark, sf_dir):
     )
 
 
+def q_image_exif_scrub(spark, sf_dir):
+    """Image-side privacy witness: 64 deterministic JPEGs carry planted
+    EXIF (orientation = i%8+1, GPS iff i%3==0); the query parses, strips
+    (lossless byte splice), re-parses, and compares pixels. Oracle
+    constructs the expected witness rows directly from i — a dropped row,
+    surviving EXIF, or any pixel change fails the hash."""
+    from text_dedup_spark.functions.exif_udf import exif_info, strip_metadata
+    from text_dedup_spark.functions.image_udf import pixel_psnr
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from text_dedup_spark.sources.exif import build_exif_app1, insert_app1
+        from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                y, x = np.mgrid[0:16, 0:24]
+                ch = ((x * 3 + y * 5 + i * 7) % 256).astype(np.uint8)
+                img = np.stack([ch, (ch + 85) % 256, (ch + 170) % 256], axis=-1)
+                tagged = insert_app1(
+                    encode_jpeg_baseline(img),
+                    build_exif_app1(
+                        orientation=(i % 8) + 1,
+                        gps=(i % 3 == 0),
+                        make=f"cam{i % 5}",
+                    ),
+                )
+                rows.append({"image_id": f"x-{i:04d}", "bytes": tagged})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = (
+        spark.range(64)
+        .repartition(4)
+        .mapInPandas(gen, "image_id string, bytes binary")
+    )
+    both = imgs.select(
+        "image_id", "bytes", strip_metadata("bytes").alias("clean")
+    )
+    return both.select(
+        "image_id",
+        exif_info("bytes").alias("i"),
+        exif_info("clean").alias("c"),
+        pixel_psnr("bytes", F.lit("jpeg"), "clean", F.lit("jpeg")).alias("p"),
+    ).select(
+        "image_id",
+        F.col("i.has_gps").alias("has_gps"),
+        F.col("i.orientation").alias("orientation"),
+        F.col("c.has_exif").alias("exif_after_strip"),
+        (F.col("p") >= 999.0).alias("pixels_identical"),
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + URL-level cluster table: messy planted URLs
     (upper-case scheme/host, www, :80, utm params, fragment) canonicalize
@@ -698,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "pii_redaction": q_pii_redaction,
         "url_dedup_clusters": q_url_dedup,
+        "image_exif_scrub": q_image_exif_scrub,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -862,6 +919,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # witness oracle constructed from the planting rule (see
+        # q_image_exif_scrub): every row must show EXIF parsed, EXIF gone
+        # after the strip, and bit-identical pixels
+        "image_exif_scrub": """
+            SELECT printf('x-%04d', i) AS image_id,
+                   (i % 3 = 0) AS has_gps,
+                   CAST((i % 8) + 1 AS INT) AS orientation,
+                   FALSE AS exif_after_strip,
+                   TRUE AS pixels_identical
+            FROM range(0, 64) t(i)
         """,
         # INDEPENDENT oracle: the canonical form is constructed directly
         # from doc_id, so a hash match proves the engine's regex
