@@ -220,6 +220,51 @@ def q_image_exif_scrub(spark, sf_dir):
     )
 
 
+def q_image_crop_matches(spark, sf_dir):
+    """Partial-duplicate witness: 40 deterministic noise images; images
+    40..49 are exact quadrant crops (quadrant i%4 of host i). The tile
+    operator must find exactly the 10 planted (crop, host, tile) pairs at
+    Hamming 0 — any false positive or miss changes the row set."""
+    from text_dedup_spark.functions.image_udf import tile_phashes
+    from text_dedup_spark.operators.tiles import crop_match_edges
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from text_dedup_spark.sources.png import encode_png
+
+        def host(j):
+            return np.random.default_rng(j).integers(
+                0, 256, (32, 48, 3), dtype=np.uint8
+            )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                if i < 40:
+                    rows.append({"image_id": f"host-{i}", "bytes": encode_png(host(i))})
+                else:
+                    j = i - 40
+                    a = host(j)
+                    q = j % 4
+                    quad = [a[:16, :24], a[:16, 24:], a[16:, :24], a[16:, 24:]][q]
+                    rows.append({"image_id": f"crop-{j}", "bytes": encode_png(quad)})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = (
+        spark.range(50)
+        .repartition(4)
+        .mapInPandas(gen, "image_id string, bytes binary")
+    )
+    tiles = imgs.select(
+        "image_id",
+        F.posexplode(tile_phashes("bytes", F.lit("png"))).alias("tile", "fp"),
+    )
+    return crop_match_edges(tiles, "image_id")
+
+
 def q_url_dedup(spark, sf_dir):
     """URL canonicalization + URL-level cluster table: messy planted URLs
     (upper-case scheme/host, www, :80, utm params, fragment) canonicalize
@@ -755,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "url_dedup_clusters": q_url_dedup,
         "image_exif_scrub": q_image_exif_scrub,
+        "image_crop_matches": q_image_crop_matches,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -919,6 +965,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint FROM documents
+        """,
+        # constructed witness (see q_image_crop_matches): exactly the 10
+        # planted quadrant crops, each matching its host's tile at
+        # Hamming 0 — accidental noise collisions are ~2^-45 per pair
+        "image_crop_matches": """
+            SELECT printf('crop-%d', i) AS crop_id,
+                   printf('host-%d', i) AS host_id,
+                   CAST((i % 4) + 1 AS INT) AS host_tile,
+                   CAST(0 AS INT) AS dist
+            FROM range(0, 10) t(i)
         """,
         # witness oracle constructed from the planting rule (see
         # q_image_exif_scrub): every row must show EXIF parsed, EXIF gone

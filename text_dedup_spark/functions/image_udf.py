@@ -14,6 +14,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DoubleType,
@@ -128,3 +129,21 @@ def frame_sample(data: pd.Series, fmt: pd.Series) -> pd.Series:  # pragma: no co
     The Spark-side plumbing (binary in, binary out, Arrow-batched) is the
     real contract; swap the body for a real decoder on a cluster."""
     raise NotImplementedError("video decode requires codecs not present in this container")
+
+
+@pandas_udf(ArrayType(LongType()))
+def tile_phashes(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """[full, top-left, top-right, bottom-left, bottom-right] phash64 per
+    image — the fingerprint table for crop/partial-duplicate detection
+    (operators/tiles.py). Images whose quadrants are too small for an 8x8
+    block hash (< 16px a side) emit the full-frame hash only."""
+    out = []
+    for blob, f in zip(data, fmt):
+        arr = decode_image(bytes(blob), f)
+        h, w = arr.shape[:2]
+        h2, w2 = h // 2, w // 2
+        tiles = [arr]
+        if h2 >= 8 and w2 >= 8:
+            tiles += [arr[:h2, :w2], arr[:h2, w2:], arr[h2:, :w2], arr[h2:, w2:]]
+        out.append([_to_signed64(phash64(t)) for t in tiles])
+    return pd.Series(out)
