@@ -56,14 +56,24 @@ def stage_hash(
     start_id: int = 0,
     run_id: str | None = None,
     short_doc_policy: str = "cluster",
+    bucket_by_id: int | None = None,
 ) -> int:
-    """Returns max assigned id (next dataset starts at max+1)."""
+    """Returns max assigned id (next dataset starts at max+1).
+
+    ``bucket_by_id``: write the id-stamped snapshot hash-bucketed on id into
+    that many buckets. Stage C's survivor split then joins it against an
+    equally-bucketed cluster table with NO exchange — the wide corpus rows
+    (payload bytes at 100 TB) never reshuffle after this one write."""
     run_id = run_id or uuid.uuid4().hex
     t = Timer()
     with t("hash"):
         stamped = assign_dense_ids(df, ID, start=start_id)
-        catalog.write(stamped, withid_name(dataset))
-        stamped = catalog.read(withid_name(dataset))  # read back: one compute
+        if bucket_by_id:
+            catalog.write_bucketed(stamped, withid_name(dataset), ID, bucket_by_id)
+            stamped = catalog.read_bucketed(withid_name(dataset))
+        else:
+            catalog.write(stamped, withid_name(dataset))
+            stamped = catalog.read(withid_name(dataset))  # read back: one compute
         bands = band_rows(stamped, text_col, cfg, ID, short_doc_policy=short_doc_policy)
         catalog.write(bands, bands_name(dataset))
     written = catalog.read(bands_name(dataset))
@@ -80,6 +90,7 @@ def stage_dedup(
     run_id: str | None = None,
     clusters_table: str = "clusters",
     hot_threshold: int | None = None,
+    bucket_by_id: int | None = None,
 ) -> DataFrame:
     run_id = run_id or uuid.uuid4().hex
     t = Timer()
@@ -87,8 +98,11 @@ def stage_dedup(
         bands = catalog.read_many([bands_name(ds) for ds in datasets])
         edges = candidate_edges(bands, ID, hot_threshold=hot_threshold)
         assignments = connected_components(edges, ID)
-        catalog.write(assignments, clusters_table)
-    out = catalog.read(clusters_table)
+        if bucket_by_id:
+            catalog.write_bucketed(assignments, clusters_table, ID, bucket_by_id)
+        else:
+            catalog.write(assignments, clusters_table)
+    out = (catalog.read_bucketed if bucket_by_id else catalog.read)(clusters_table)
     log_metric(
         catalog, run_id, "dedup", ",".join(datasets), bands.count(), out.count(),
         t.elapsed_times["dedup"],
@@ -103,12 +117,18 @@ def stage_remove(
     run_id: str | None = None,
     clusters_table: str = "clusters",
 ) -> tuple[int, int]:
-    """Returns (kept_rows, removed_rows)."""
+    """Returns (kept_rows, removed_rows). When both the id-stamped snapshot
+    and the cluster table were written bucketed on id (stage_hash/stage_dedup
+    ``bucket_by_id``), the anti/semi joins below are exchange-free — proven
+    by plan assertion in tests/test_bucketed.py."""
     run_id = run_id or uuid.uuid4().hex
     t = Timer()
     with t("remove"):
-        corpus = catalog.read(withid_name(dataset))
-        clusters = catalog.read(clusters_table)
+        rd = lambda n: (  # noqa: E731
+            catalog.read_bucketed(n) if catalog.is_bucketed(n) else catalog.read(n)
+        )
+        corpus = rd(withid_name(dataset))
+        clusters = rd(clusters_table)
         kept, removed = split_survivors(corpus, clusters, ID)
         catalog.write(kept, f"{dataset}__kept")
         catalog.write(removed, f"{dataset}__removed")
@@ -124,6 +144,7 @@ def run_staged(
     text_col: str,
     cfg: MinHashConfig | None = None,
     force: bool = False,
+    bucket_by_id: int | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Full A->B->C run over named datasets, resuming past completed
     checkpoints. Returns per-dataset (kept, removed) counts."""
@@ -133,12 +154,15 @@ def run_staged(
     next_id = 0
     for ds, df in inputs.items():
         if force or not (catalog.exists(withid_name(ds)) and catalog.exists(bands_name(ds))):
-            next_id = stage_hash(catalog, df, text_col, cfg, ds, start_id=next_id, run_id=run_id) + 1
+            next_id = stage_hash(
+                catalog, df, text_col, cfg, ds, start_id=next_id, run_id=run_id,
+                bucket_by_id=bucket_by_id,
+            ) + 1
         else:
             next_id = max_id(catalog.read(withid_name(ds)), ID) + 1
 
     if force or not catalog.exists("clusters"):
-        stage_dedup(catalog, list(inputs), run_id=run_id)
+        stage_dedup(catalog, list(inputs), run_id=run_id, bucket_by_id=bucket_by_id)
 
     results = {}
     for ds in inputs:
