@@ -392,6 +392,36 @@ def q_embedding_near_pairs(spark, sf_dir):
     return embedding_near_pairs(_emb(spark, sf_dir), 0.47, approximate=False)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (k-means cells + within-cell cosine pruning) over a
+    deterministic synthetic embedding table: 30 groups x 4 slots in dim 32
+    — slot 0 anchor (random unit direction, seed 7), slots 1/2 the SAME
+    direction at scales 2.0/0.5 (cosine exactly 1.0 after rounding, without
+    byte-identical vectors — the within-cell scan must group them), slot 3
+    a distinct random direction (singleton; random dim-32 cross-cosines are
+    far below eps). Expected assignments are therefore known by
+    construction, independent of the k-means layout: identical directions
+    always share a cell. keep='low' with equal centroid-sims ties to the
+    min id, so component = the group's slot-0 anchor."""
+    import numpy as np
+
+    from text_dedup_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g in range(30):
+        u = rng.normal(size=32)
+        u /= np.linalg.norm(u)
+        w = rng.normal(size=32)
+        w /= np.linalg.norm(w)
+        for s, v in enumerate([u, u * 2.0, u * 0.5, w]):
+            rows.append((g * 4 + s, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8)
+    return semantic_dedup(df, eps=0.99, n_clusters=8, keep="low")
+
+
 # --- rows-only (non-SQL-expressible kernels) --------------------------------
 
 
@@ -806,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_by_events": q_top_users_by_events,
         "ann_topk": q_ann_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_assignments": q_minhash_assignments,
         "minhash_survivors": q_minhash_survivors,
         "simhash_assignments": q_simhash_assignments,
@@ -854,6 +885,16 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS psnr_ok,
                    TRUE AS caption_equal
             FROM range(0, 200) t(i)
+        """,
+        # semantic_dedup: constructed oracle over the deterministic
+        # synthetic embedding layout documented on q_semantic_dedup — the
+        # group structure (slots 1 and 2 prune to the slot-0 anchor; slot 3
+        # survives) holds under ANY k-means cell layout because grouped
+        # slots share one direction, hence one cell, at cosine exactly 1.0.
+        "semantic_dedup": """
+            SELECT CAST(g * 4 + s AS BIGINT) AS vec_id,
+                   CAST(g * 4 AS BIGINT) AS component
+            FROM range(0, 30) t(g) CROSS JOIN (VALUES (1), (2)) v(s)
         """,
         # Constructed oracles over the deterministic synthetic media tables
         # (seed 42, sf-independent). The cluster patterns are the planted

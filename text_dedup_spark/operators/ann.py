@@ -234,6 +234,64 @@ def make_cosine_pairs_udf():
     return cos
 
 
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    kmeans_iterations: int = 2,
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids (unit rows, shape
+    (n_centroids, dim)): hash-ordered corpus sample init, then
+    ``kmeans_iterations`` distributed Lloyd steps — assign cells with the
+    batched matmul UDF, per-cell means via posexplode + groupBy(cell,
+    pos).avg (a partial-aggregating shuffle of n_centroids x dim rows,
+    never a vector collect); only the tiny centroid matrix reaches the
+    driver. Shared by ``ivf_topk`` and ``semantic_dedup``."""
+    cent_rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+
+    for _ in range(kmeans_iterations):
+        assign_it = make_cell_assign_udf(cents)
+        means = (
+            corpus.select(
+                assign_it(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cents = cents.copy()  # empty cells keep their previous centroid
+        touched = {r["cell"] for r in means}
+        for c in touched:
+            new_cents[c] = 0.0
+        for r in means:
+            new_cents[r["cell"], r["pos"]] = r["m"]
+        norms = np.linalg.norm(new_cents, axis=1, keepdims=True)
+        cents = new_cents / np.maximum(norms, 1e-300)
+    return cents
+
+
+def make_cell_assign_udf(c: np.ndarray):
+    """array<float> -> nearest-centroid cell id (argmax cosine), one numpy
+    matmul per Arrow batch."""
+
+    @pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        return pd.Series((mat @ c.T).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -259,45 +317,8 @@ def ivf_topk(
       once and shuffled by cell, never cross-joined.
     - Exact cosine re-rank of candidates only.
     """
-    cent_rows = (
-        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
-        .limit(n_centroids)
-        .collect()
-    )
-    cents = np.array([r["v"] for r in cent_rows], dtype=np.float64)
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
-
-    def make_assign(c: np.ndarray):
-        @pandas_udf(IntegerType())
-        def assign(vecs: pd.Series) -> pd.Series:
-            mat = np.array(vecs.tolist(), dtype=np.float64)
-            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-            return pd.Series((mat @ c.T).argmax(axis=1).astype(np.int32))
-
-        return assign
-
-    for _ in range(kmeans_iterations):
-        assign_it = make_assign(cents)
-        means = (
-            corpus.select(
-                assign_it(F.col(vec_col)).alias("cell"),
-                F.posexplode(F.col(vec_col)).alias("pos", "val"),
-            )
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new_cents = cents.copy()  # empty cells keep their previous centroid
-        touched = {r["cell"] for r in means}
-        for c in touched:
-            new_cents[c] = 0.0
-        for r in means:
-            new_cents[r["cell"], r["pos"]] = r["m"]
-        norms = np.linalg.norm(new_cents, axis=1, keepdims=True)
-        cents = new_cents / np.maximum(norms, 1e-300)
-
-    assign_cell = make_assign(cents)
+    cents = train_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iterations)
+    assign_cell = make_cell_assign_udf(cents)
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:

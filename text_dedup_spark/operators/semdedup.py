@@ -1,0 +1,198 @@
+"""Semantic deduplication (SemDeDup): k-means the embedding space, then
+find and prune semantic duplicates WITHIN each cluster.
+
+Public algorithm (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540): cluster all
+embeddings with k-means; within each cluster, any pair with cosine
+similarity >= eps is a semantic-duplicate pair; keep exactly one item per
+duplicate group (the paper's best-performing policy keeps the item with the
+LOWEST similarity to its cluster centroid). Cross-cluster pairs are never
+examined — that is SemDeDup's stated approximation, which is what makes it
+tractable at web scale.
+
+No reference analog: text-dedup has no embedding-space operator at all;
+this extends the suite the same way the ANN operators do (SURVEY §2
+round-2/3 additions) and shares their machinery.
+
+Spark shape (all DataFrame-native, scale-audited):
+- centroids: ``ann.train_centroids`` — deterministic init + distributed
+  Lloyd steps; only the (n_clusters x dim) matrix reaches the driver.
+- one Arrow-batched pass assigns every DISTINCT embedding its cell and
+  centroid similarity (identical vectors collapse to one representative
+  first, via ``ann._collapse_identical_vectors`` — the hot-cell defense: a
+  dedup corpus carries thousands of byte-identical embeddings which would
+  otherwise all land in one cell and square the within-cell work).
+- one shuffle partitions representatives by cell; each cell is grouped in
+  a single ``applyInPandas`` task that finds duplicate groups with a
+  BLOCKED matmul (row_block x cell_size — never cell_size^2 memory) and a
+  vectorized min-label propagation; output is O(members), only rows in
+  multi-member groups are emitted.
+- group keys merge back through the identical-vector membership map, and
+  the survivor policy is applied with ``apply.reassign_survivors`` (the
+  same curation operator the MinHash path uses).
+
+Per-cell work is O(cell_size^2) FLOPs by the paper's own construction —
+``n_clusters`` is the knob that bounds it (the paper uses ~sqrt(n)
+clusters; cells then hold ~sqrt(n) rows). The operator never materializes
+a cell_size^2 matrix and never emits the quadratic pair set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ann import (
+    _collapse_identical_vectors,
+    _round_half_up,
+    make_cosine_pairs_udf,
+    train_centroids,
+)
+from .apply import reassign_survivors
+
+
+def _make_cell_scan(eps: float, row_block: int):
+    """Per-cell duplicate-group finder for ``applyInPandas``.
+
+    Emits (id, component, csim) for every member of a multi-member group,
+    where ``component`` is the group's minimum id (the roots-PRESENT view;
+    the caller strips roots). Label propagation is vectorized: each round
+    takes the min label over each row's eps-neighbors via ``np.minimum.at``
+    on the sparse edge list, converging in O(graph diameter) rounds."""
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series(dtype="int64"),
+                "component": pd.Series(dtype="int64"),
+                "csim": pd.Series(dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        csim = pdf["csim"].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+        rows_l, cols_l = [], []
+        for start in range(0, n, row_block):
+            block = mat[start : start + row_block]
+            sims = _round_half_up(block @ mat.T)
+            bi, j = np.nonzero(sims >= eps)
+            i = bi + start
+            keep = i < j  # one direction; propagation applies both
+            if keep.any():
+                rows_l.append(i[keep])
+                cols_l.append(j[keep])
+        if not rows_l:
+            return empty
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+
+        lab = np.arange(n, dtype=np.int64)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, rows, lab[cols])
+            np.minimum.at(new, cols, lab[rows])
+            if np.array_equal(new, lab):
+                break
+            lab = new
+
+        # component = min ID in the group (ids are not index-ordered)
+        comp_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(comp_min, lab, ids)
+        sizes = np.bincount(lab, minlength=n)
+        member = sizes[lab] > 1
+        return pd.DataFrame(
+            {
+                "id": ids[member],
+                "component": comp_min[lab[member]],
+                "csim": csim[member],
+            }
+        )
+
+    return scan
+
+
+def semantic_dedup(
+    df: DataFrame,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    keep: str = "low",
+    kmeans_iterations: int = 2,
+    row_block: int = 2048,
+) -> DataFrame:
+    """Roots-absent assignment table (id_col, component): one row per
+    PRUNED item, ``component`` = the id of its group's surviving member —
+    a drop-in for ``apply.split_survivors``, exactly like the MinHash CC
+    output.
+
+    ``keep``: which member of each semantic-duplicate group survives —
+    ``'low'`` (paper default: lowest similarity to the cluster centroid),
+    ``'high'``, or ``'min_id'``. Ties (and all identical-vector copies,
+    whose centroid similarities are equal) break to the smallest id, so
+    results are partitioning-independent."""
+    if keep not in ("low", "high", "min_id"):
+        raise ValueError(f"keep must be low|high|min_id, got {keep!r}")
+    cents = train_centroids(df, id_col, vec_col, n_clusters, kmeans_iterations)
+    reps, members = _collapse_identical_vectors(df, id_col, vec_col)
+
+    @F.pandas_udf("struct<cell: int, csim: double>")
+    def cell_and_sim(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = mat @ cents.T
+        cell = sims.argmax(axis=1).astype(np.int32)
+        return pd.DataFrame(
+            {"cell": cell, "csim": _round_half_up(sims.max(axis=1))}
+        )
+
+    celled = reps.withColumn("__cs__", cell_and_sim(F.col("v"))).select(
+        "id", "v", F.col("__cs__.cell").alias("cell"), F.col("__cs__.csim").alias("csim")
+    )
+
+    # rep-level duplicate groups within each cell (multi-member only)
+    rep_groups = celled.groupBy("cell").applyInPandas(
+        _make_cell_scan(eps, row_block), "id long, component long, csim double"
+    )
+
+    # identical-vector groups whose representative found NO distinct
+    # neighbor are still duplicate groups on their own (every copy is at
+    # self-similarity of its vector) — gate on the self-score >= eps so
+    # degenerate zero vectors (self-cosine 0 under the guarded norm) are
+    # never grouped, matching embedding_near_pairs semantics.
+    score = make_cosine_pairs_udf()
+    gsize = members.groupBy("rep").agg(F.count(F.lit(1)).alias("__gn__"))
+    lone_identical = (
+        celled.join(gsize.where(F.col("__gn__") > 1), celled["id"] == F.col("rep"))
+        .join(rep_groups.select(F.col("id").alias("rep")), "rep", "left_anti")
+        .where(score(F.col("v"), F.col("v")) >= eps)
+        .select(F.col("rep").alias("id"), F.col("rep").alias("component"), "csim")
+    )
+
+    # expand representative groups to all identical copies: a copy shares
+    # its rep's vector, hence its cell, neighbors, and centroid similarity.
+    # component stays the group min id: reps are their identical group's
+    # min, and the scan's component is the min rep — min over all members.
+    all_groups = rep_groups.unionByName(lone_identical)
+    expanded = (
+        all_groups.withColumnRenamed("id", "rep")
+        .join(members, "rep")
+        .select("id", "component", "csim")
+    )
+
+    assignments = expanded.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col), "component"
+    )
+    if keep == "min_id":
+        return assignments
+    scores = expanded.select(F.col("id").alias(id_col), "csim")
+    return reassign_survivors(
+        assignments, scores, id_col, "csim", descending=(keep == "high")
+    )
