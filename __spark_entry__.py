@@ -422,6 +422,37 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(df, eps=0.99, n_clusters=8, keep="low")
 
 
+def q_image_semantic_dedup(spark, sf_dir):
+    """Image-space SemDeDup: decode -> centered 8x8 block-mean embedding
+    (functions/image_udf.image_embedding; cosine = Pearson correlation of
+    block intensities) -> semantic_dedup. Deterministic synthetic PNGs,
+    25 groups x 4 slots: slot 0 anchor (random pixels in [10,120], seed 19),
+    slot 1 = gain x2 and slot 2 = offset +30 (both clip-free, so the
+    centered block means transform EXACTLY affinely -> cosine exactly 1.0
+    with the anchor under any k-means layout), slot 3 a distinct random
+    image (64-dim block correlations far below eps). Expected assignments
+    are known by construction: slots 1/2 prune to the slot-0 anchor."""
+    import numpy as np
+
+    from text_dedup_spark.functions.image_udf import image_embedding
+    from text_dedup_spark.operators.semdedup import semantic_dedup
+    from text_dedup_spark.sources.png import encode_png
+
+    rng = np.random.RandomState(19)
+    rows = []
+    for g in range(25):
+        base = rng.randint(10, 121, size=(16, 16, 3)).astype(np.uint8)
+        distinct = rng.randint(10, 121, size=(16, 16, 3)).astype(np.uint8)
+        slots = [base, (base * 2).astype(np.uint8), (base + 30).astype(np.uint8), distinct]
+        for s, img in enumerate(slots):
+            rows.append((g * 4 + s, bytearray(encode_png(img)), "png"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, fmt string"
+    ).repartition(8)
+    embedded = df.select("img_id", image_embedding("bytes", "fmt").alias("embedding"))
+    return semantic_dedup(embedded, eps=0.99, id_col="img_id", n_clusters=6, keep="min_id")
+
+
 # --- rows-only (non-SQL-expressible kernels) --------------------------------
 
 
@@ -837,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "semantic_dedup": q_semantic_dedup,
+        "image_semantic_dedup": q_image_semantic_dedup,
         "minhash_assignments": q_minhash_assignments,
         "minhash_survivors": q_minhash_survivors,
         "simhash_assignments": q_simhash_assignments,
@@ -895,6 +927,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(g * 4 + s AS BIGINT) AS vec_id,
                    CAST(g * 4 AS BIGINT) AS component
             FROM range(0, 30) t(g) CROSS JOIN (VALUES (1), (2)) v(s)
+        """,
+        # image_semantic_dedup: same construction through the REAL image
+        # path (PNG encode -> decode -> centered block-mean embedding):
+        # clip-free gain/offset variants are affine in block means, so
+        # their centered embeddings share the anchor's exact direction.
+        "image_semantic_dedup": """
+            SELECT CAST(g * 4 + s AS BIGINT) AS img_id,
+                   CAST(g * 4 AS BIGINT) AS component
+            FROM range(0, 25) t(g) CROSS JOIN (VALUES (1), (2)) v(s)
         """,
         # Constructed oracles over the deterministic synthetic media tables
         # (seed 42, sf-independent). The cluster patterns are the planted

@@ -173,3 +173,78 @@ def test_multi_cell_blobs(spark):
 def test_bad_keep_policy_rejected(spark):
     with pytest.raises(ValueError):
         semantic_dedup(make_df(spark, [0], [np.ones(4)]), eps=0.9, keep="best")
+
+
+# --- image-space semantic dedup (image_embedding -> semantic_dedup) --------
+
+
+def _block_image(seed):
+    """32x32 image with strong 8x8 block structure (levels 40..215 + small
+    pixel noise) — the regime where the centered block-mean embedding has
+    high variance and affine/smooth perturbations stay near cosine 1."""
+    rng = np.random.RandomState(seed)
+    levels = rng.randint(40, 216, size=(8, 8))
+    base = np.repeat(np.repeat(levels, 4, 0), 4, 1)
+    base = np.clip(base + rng.randint(-6, 7, size=(32, 32)), 0, 235)
+    return np.stack([base] * 3, axis=2).astype(np.uint8)
+
+
+def test_image_semantic_dedup_catches_what_phash_misses(spark):
+    """A smooth column-ramp overlay (+0..30) flips SIX phash bits (so the
+    Hamming-<=3 phash dedup misses the pair) but keeps the block-intensity
+    correlation at 0.984 — the embedding tier groups it at eps=0.98."""
+    from text_dedup_spark.functions.image_udf import image_embedding
+    from text_dedup_spark.sources.png import encode_png, phash64
+
+    base = _block_image(27)
+    ramp = np.linspace(0, 30, 32).astype(np.int32)[None, :, None]
+    variant = np.clip(base.astype(np.int32) + ramp, 0, 255).astype(np.uint8)
+    assert bin(phash64(base) ^ phash64(variant)).count("1") > 3  # phash misses
+    others = [_block_image(s) for s in (101, 102, 103, 104)]
+
+    rows = [
+        (i, encode_png(img), "png")
+        for i, img in enumerate([base, variant] + others)
+    ]
+    df = spark.createDataFrame(rows, "img_id long, bytes binary, fmt string")
+    embedded = df.select(
+        "img_id", image_embedding("bytes", "fmt").alias("embedding")
+    )
+    got = {
+        (r["img_id"], r["component"])
+        for r in semantic_dedup(
+            embedded, eps=0.98, id_col="img_id", n_clusters=2, keep="min_id"
+        ).collect()
+    }
+    assert got == {(1, 0)}
+
+
+def test_image_embedding_affine_brightness_invariant(spark):
+    """Gain (x2) and offset (+30) variants embed to the SAME direction
+    (centered block means scale/translate exactly), so they group at
+    cosine 1.0; flat images embed to the zero vector and never group."""
+    from text_dedup_spark.functions.image_udf import image_embedding
+    from text_dedup_spark.sources.png import encode_png
+
+    rng = np.random.RandomState(13)
+    base = rng.randint(10, 121, size=(16, 16, 3)).astype(np.uint8)
+    gain = (base * 2).astype(np.uint8)          # <= 240, no clipping
+    offset = (base + 30).astype(np.uint8)       # <= 150, no clipping
+    flat1 = np.full((16, 16, 3), 77, np.uint8)
+    flat2 = np.full((16, 16, 3), 200, np.uint8)
+    distinct = rng.randint(10, 121, size=(16, 16, 3)).astype(np.uint8)
+    rows = [
+        (i, encode_png(img), "png")
+        for i, img in enumerate([base, gain, offset, flat1, flat2, distinct])
+    ]
+    df = spark.createDataFrame(rows, "img_id long, bytes binary, fmt string")
+    embedded = df.select(
+        "img_id", image_embedding("bytes", "fmt").alias("embedding")
+    )
+    got = {
+        (r["img_id"], r["component"])
+        for r in semantic_dedup(
+            embedded, eps=0.99, id_col="img_id", n_clusters=2, keep="min_id"
+        ).collect()
+    }
+    assert got == {(1, 0), (2, 0)}

@@ -60,6 +60,31 @@ def phash_from_bytes(data: pd.Series, fmt: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(ArrayType(DoubleType()))
+def image_embedding(data: pd.Series, fmt: pd.Series) -> pd.Series:
+    """Decode -> 64-dim visual embedding: 8x8 grayscale block means,
+    mean-centered. Cosine over this vector is the Pearson correlation of
+    block intensities — invariant to affine brightness changes (gain and
+    offset) and degrading smoothly under noise/overlays, where the
+    thresholded phash can flip several bits at once. Feeds
+    ``operators.semdedup.semantic_dedup`` as the image-space near-dup
+    tier; flat (zero-variance) images embed to the zero vector, which the
+    semantic-dedup zero-vector guard never groups."""
+    out = []
+    for b, f in zip(data, fmt):
+        gray = decode_image(bytes(b), f).astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        if h >= 8 and w >= 8:  # same 8x8 block grid as phash64
+            bh, bw = h // 8, w // 8
+            blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+            vec = (blocks - blocks.mean()).flatten()
+        else:  # tiny image: centered raw pixels, zero-padded to 64
+            vec = (gray - gray.mean()).flatten()[:64]
+            vec = np.pad(vec, (0, 64 - vec.size))
+        out.append(vec.tolist())
+    return pd.Series(out)
+
+
 PHASH_FLAGGED = StructType(
     [
         StructField("phash", LongType()),  # null when decode_ok is false
