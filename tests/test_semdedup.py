@@ -248,3 +248,63 @@ def test_image_embedding_affine_brightness_invariant(spark):
         ).collect()
     }
     assert got == {(1, 0), (2, 0)}
+
+
+def test_hot_cell_blocked_path_matches_bruteforce(spark):
+    """cell_cap forces the blocked-edges + distributed-CC path (no task
+    holds the whole cell); output must equal both the pure-python oracle
+    and the single-task path on the same input."""
+    rng = np.random.RandomState(17)
+    vecs = list(rng.normal(size=(120, 6)))
+    for s in (2, 9, 9, 30):  # planted copies / near-copies
+        vecs.append(np.asarray(vecs[s]) * rng.uniform(0.5, 2.0))
+    ids = list(range(len(vecs)))
+    rng.shuffle(ids)
+    df = make_df(spark, ids, vecs)
+
+    blocked = collect_assignments(
+        semantic_dedup(df, eps=0.95, n_clusters=1, keep="min_id", cell_cap=30)
+    )
+    single = collect_assignments(
+        semantic_dedup(df, eps=0.95, n_clusters=1, keep="min_id", cell_cap=None)
+    )
+    assert blocked == single == py_min_id_assignments(ids, vecs, eps=0.95)
+
+    # keep policy flows through the big-cell path too (csim join)
+    b_low = collect_assignments(
+        semantic_dedup(df, eps=0.95, n_clusters=1, keep="low", cell_cap=30)
+    )
+    s_low = collect_assignments(
+        semantic_dedup(df, eps=0.95, n_clusters=1, keep="low", cell_cap=None)
+    )
+    assert b_low == s_low
+
+
+def test_mixed_small_and_big_cells(spark):
+    """Two well-separated blobs, one above and one below the cap: the big
+    blob takes the blocked path, the small one the single-task path, and
+    the union must equal the uncapped run."""
+    rng = np.random.RandomState(23)
+    vecs, ids = [], []
+    big_axis, small_axis = np.zeros(8), np.zeros(8)
+    big_axis[0] = 10.0
+    small_axis[4] = 10.0
+    for i in range(60):
+        ids.append(i)
+        vecs.append(big_axis + rng.normal(scale=0.4, size=8))
+    for i in range(10):
+        ids.append(1000 + i)
+        vecs.append(small_axis + rng.normal(scale=0.4, size=8))
+    vecs.append(vecs[0] * 1.5)  # planted dup in the big blob
+    ids.append(5000)
+    vecs.append(vecs[60] * 2.0)  # planted dup in the small blob
+    ids.append(6000)
+    df = make_df(spark, ids, vecs)
+    capped = collect_assignments(
+        semantic_dedup(df, eps=0.999, n_clusters=2, keep="min_id", cell_cap=30)
+    )
+    uncapped = collect_assignments(
+        semantic_dedup(df, eps=0.999, n_clusters=2, keep="min_id", cell_cap=None)
+    )
+    assert capped == uncapped
+    assert (5000, 0) in capped and (6000, 1000) in capped

@@ -51,6 +51,7 @@ from .ann import (
     train_centroids,
 )
 from .apply import reassign_survivors
+from .cc import connected_components
 
 
 def _make_cell_scan(eps: float, row_block: int):
@@ -118,6 +119,78 @@ def _make_cell_scan(eps: float, row_block: int):
     return scan
 
 
+def _big_cell_edges(
+    big: DataFrame, eps: float, n_blocks: int, row_block: int
+) -> DataFrame:
+    """(src, dst) near-dup edges within each oversized cell, via the same
+    blocked pair-group scheme as ``ann._exact_near_pairs_blocked`` but
+    grouped by (cell, pair_id): every vector is replicated to its block's
+    pair-groups (factor n_blocks), each group holds ~2*cell_size/n_blocks
+    rows and is scored with a chunked matmul. Edges then feed the audited
+    distributed connected-components pass, so no single task ever holds a
+    whole hot cell. Edge volume equals the true qualifying-pair count —
+    materialized hash-partitioned, never in one task."""
+    spark = big.sparkSession
+    member_rows = []
+    pi = 0
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            diag = 1 if i == j else 0
+            member_rows.append((i, pi, 0, diag))
+            if j != i:
+                member_rows.append((j, pi, 1, diag))
+            pi += 1
+    members = spark.createDataFrame(
+        member_rows, "block int, pair_id int, role int, diag int"
+    )
+    vecs = big.select(
+        "cell",
+        "id",
+        "v",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int").alias("block"),
+    )
+    replicated = vecs.join(F.broadcast(members), "block").select(
+        "cell", "pair_id", "diag", "role", "id", "v"
+    )
+    empty = pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+    )
+
+    def edge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        diag = bool(pdf["diag"].iloc[0])
+        left = pdf[pdf["role"] == 0]
+        right = pdf[pdf["role"] == 1]
+        if len(left) == 0 or (not diag and len(right) == 0):
+            return empty
+        lids = left["id"].to_numpy()
+        lmat = np.array(left["v"].tolist(), dtype=np.float64)
+        lmat /= np.maximum(np.linalg.norm(lmat, axis=1, keepdims=True), 1e-300)
+        if diag:
+            rids, rmat = lids, lmat
+        else:
+            rids = right["id"].to_numpy()
+            rmat = np.array(right["v"].tolist(), dtype=np.float64)
+            rmat /= np.maximum(np.linalg.norm(rmat, axis=1, keepdims=True), 1e-300)
+        srcs, dsts = [], []
+        for start in range(0, len(lids), row_block):
+            sims = _round_half_up(lmat[start : start + row_block] @ rmat.T)
+            li, ri = np.nonzero(sims >= eps)
+            a, b = lids[start:][li], rids[ri]
+            keep = a != b
+            srcs.append(np.minimum(a[keep], b[keep]))
+            dsts.append(np.maximum(a[keep], b[keep]))
+        if not srcs:
+            return empty
+        out = pd.DataFrame(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+        )
+        return out.drop_duplicates(["src", "dst"]) if diag else out
+
+    return replicated.groupBy("cell", "pair_id").applyInPandas(
+        edge_group, "src long, dst long"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     eps: float,
@@ -127,6 +200,7 @@ def semantic_dedup(
     keep: str = "low",
     kmeans_iterations: int = 2,
     row_block: int = 2048,
+    cell_cap: int | None = 50_000,
 ) -> DataFrame:
     """Roots-absent assignment table (id_col, component): one row per
     PRUNED item, ``component`` = the id of its group's surviving member —
@@ -137,7 +211,17 @@ def semantic_dedup(
     ``'low'`` (paper default: lowest similarity to the cluster centroid),
     ``'high'``, or ``'min_id'``. Ties (and all identical-vector copies,
     whose centroid similarities are equal) break to the smallest id, so
-    results are partitioning-independent."""
+    results are partitioning-independent.
+
+    ``cell_cap``: hot-cell defense. A skewed corpus can put far more than
+    corpus/n_clusters rows in one cell (one dominant content type), and the
+    single-task-per-cell scan would then be unbounded. Cells holding more
+    than ``cell_cap`` DISTINCT vectors are instead processed by blocked
+    pair-group edge extraction (per-task rows ~ 2*cell/n_blocks <=
+    ~2*cell_cap) + the distributed connected-components pass — identical
+    groups, no task ever holds a whole cell. Size it to executor memory:
+    the in-task matrix is cell_cap x dim float64 (50k x 768 ~ 300 MB).
+    ``None`` disables the split (single-task cells regardless of size)."""
     if keep not in ("low", "high", "min_id"):
         raise ValueError(f"keep must be low|high|min_id, got {keep!r}")
     cents = train_centroids(df, id_col, vec_col, n_clusters, kmeans_iterations)
@@ -157,10 +241,29 @@ def semantic_dedup(
         "id", "v", F.col("__cs__.cell").alias("cell"), F.col("__cs__.csim").alias("csim")
     )
 
-    # rep-level duplicate groups within each cell (multi-member only)
-    rep_groups = celled.groupBy("cell").applyInPandas(
+    # rep-level duplicate groups within each cell (multi-member only);
+    # oversized cells take the blocked-edges + distributed-CC path
+    big_cells: list[int] = []
+    if cell_cap is not None:
+        sizes = celled.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        big_cells = [r["cell"] for r in sizes if r["n"] > cell_cap]
+    small = celled.where(~F.col("cell").isin(big_cells)) if big_cells else celled
+    rep_groups = small.groupBy("cell").applyInPandas(
         _make_cell_scan(eps, row_block), "id long, component long, csim double"
     )
+    if big_cells:
+        big = celled.where(F.col("cell").isin(big_cells))
+        max_big = max(r["n"] for r in sizes if r["cell"] in set(big_cells))
+        n_blocks = -(-max_big // cell_cap)  # ceil; >= 2 since max_big > cap
+        edges = _big_cell_edges(big, eps, n_blocks, row_block)
+        assigned = connected_components(edges, "id")  # roots absent
+        roots = assigned.select(F.col("component").alias("id"), "component").distinct()
+        big_groups = (
+            assigned.unionByName(roots)
+            .join(celled.select("id", "csim"), "id")
+            .select("id", "component", "csim")
+        )
+        rep_groups = rep_groups.unionByName(big_groups)
 
     # identical-vector groups whose representative found NO distinct
     # neighbor are still duplicate groups on their own (every copy is at
