@@ -203,3 +203,25 @@ def test_cli_redact_pii(spark, tmp_path):
     row = spark.read.parquet(out).collect()[0]
     assert row["text"] == "reach me at <EMAIL> or <IP>"
     assert row["n_email"] == 1 and row["n_ipv4"] == 1 and row["n_pii"] == 2
+
+
+def test_cli_semdedup(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for g in range(20):
+        u = rng.normal(size=16)
+        rows.append((g * 2, [float(x) for x in u]))
+        if g < 8:  # planted scaled duplicate
+            rows.append((g * 2 + 1, [float(x) for x in u * 2.0]))
+    inp = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "sem_out")
+    _run(["semdedup", "--input", inp, "--output", out,
+          "--id_column", "vec_id", "--eps", "0.99", "--n_clusters", "4"])
+    kept = spark.read.parquet(f"{out}/kept")
+    removed = spark.read.parquet(f"{out}/removed")
+    assert kept.count() == 20 and removed.count() == 8
+    assert {r["vec_id"] for r in removed.collect()} == {g * 2 + 1 for g in range(8)}

@@ -218,6 +218,33 @@ def cmd_exact(args) -> None:
         spark.stop()
 
 
+def cmd_semdedup(args) -> None:
+    from .operators.apply import split_survivors
+    from .operators.ids import ID, assign_unique_ids
+    from .operators.semdedup import semantic_dedup
+
+    spark, _own = _session("text-dedup-semdedup")
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    id_col = args.id_column
+    if id_col is None:
+        df = assign_unique_ids(df, ID)
+        id_col = ID
+    assigns = semantic_dedup(
+        df,
+        eps=args.eps,
+        id_col=id_col,
+        vec_col=args.column,
+        n_clusters=args.n_clusters,
+        keep=args.keep,
+        cell_cap=args.cell_cap,
+    )
+    kept, removed = split_survivors(df, assigns, id_col)
+    _write(kept, f"{args.output}/kept", args.output_format)
+    _write(removed, f"{args.output}/removed", args.output_format)
+    if _own:
+        spark.stop()
+
+
 def cmd_simhash(args) -> None:
     from .operators.apply import split_survivors
     from .operators.ids import ID, assign_unique_ids
@@ -420,6 +447,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_bucket", type=int, default=4)
     p.add_argument("--ngram", type=int, default=3)
     p.set_defaults(fn=cmd_simhash)
+
+    p = sub.add_parser(
+        "semdedup",
+        help="SemDeDup semantic dedup over an embedding column "
+        "(k-means cells + within-cell cosine pruning)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--column", default="embedding")
+    p.add_argument("--id_column", default=None)
+    p.add_argument("--eps", type=float, default=0.95)
+    p.add_argument("--n_clusters", type=int, default=64)
+    p.add_argument("--keep", default="low", choices=["low", "high", "min_id"])
+    p.add_argument("--cell_cap", type=int, default=50_000)
+    p.set_defaults(fn=cmd_semdedup)
 
     p = sub.add_parser(
         "audit-bands",
