@@ -95,3 +95,73 @@ def test_metrics_and_lineage_written(spark, catalog):
     lineage = catalog.read("lineage")
     assert lineage.count() > 0
     assert set(lineage.columns) == {"run_id", "stage", "partition", "rows"}
+
+
+def test_incremental_dedup_equals_full_recompute(spark, tmp_path):
+    """Folding a new dataset into an existing cluster table
+    (stage_dedup_incremental) must produce EXACTLY the assignments of a
+    full stage_dedup over all band checkpoints."""
+    from text_dedup_spark.plans.staged import (
+        run_staged,
+        stage_dedup,
+        stage_dedup_incremental,
+        stage_hash,
+    )
+
+    corpus = synth_corpus(180, seed=31)
+    third = len(corpus) // 3
+    cfg = MinHashConfig(num_perm=64)
+    ds = {
+        "a": spark.createDataFrame([(t,) for _, t in corpus[:third]], "text string"),
+        "b": spark.createDataFrame(
+            [(t,) for _, t in corpus[third : 2 * third]], "text string"
+        ),
+    }
+    # the new dataset overlaps BOTH old datasets (synth_corpus duplicates
+    # reference random source docs) plus fresh material
+    new_df = spark.createDataFrame(
+        [(t,) for _, t in corpus[2 * third :]], "text string"
+    )
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    run_staged(cat, ds, "text", cfg)
+    from text_dedup_spark.operators.ids import max_id
+    start = max_id(cat.read(withid_name("b")), ID) + 1
+    stage_hash(cat, new_df, "text", cfg, "c", start_id=start)
+
+    inc = stage_dedup_incremental(cat, ["a", "b"], ["c"])
+    inc_set = {(r[ID], r["component"]) for r in inc.collect()}
+
+    full = stage_dedup(cat, ["a", "b", "c"], clusters_table="clusters_full")
+    full_set = {(r[ID], r["component"]) for r in full.collect()}
+    assert inc_set == full_set and len(inc_set) > 0
+
+
+def test_incremental_dedup_merges_old_clusters(spark, tmp_path):
+    """A new row whose bands bridge two previously-distinct clusters must
+    merge them — pinned with hand-built band checkpoints (deterministic
+    bucket collisions, no MinHash probability involved)."""
+    from text_dedup_spark.plans.staged import stage_dedup, stage_dedup_incremental
+
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    old = spark.createDataFrame(
+        [(1, 0, 111), (2, 0, 111),   # cluster A via bucket 111
+         (3, 0, 222), (4, 0, 222),   # cluster B via bucket 222
+         (9, 0, 999)],               # singleton
+        f"{ID} long, band int, band_hash long",
+    )
+    cat.write(old, bands_name("old"))
+    stage_dedup(cat, ["old"])
+    before = {(r[ID], r["component"]) for r in cat.read("clusters").collect()}
+    assert before == {(2, 1), (4, 3)}
+
+    bridge = spark.createDataFrame(
+        [(10, 0, 111), (10, 0, 222)], f"{ID} long, band int, band_hash long"
+    )
+    cat.write(bridge, bands_name("newds"))
+    inc = stage_dedup_incremental(cat, ["old"], ["newds"])
+    got = {(r[ID], r["component"]) for r in inc.collect()}
+    assert got == {(2, 1), (3, 1), (4, 1), (10, 1)}  # A+B+bridge merged; 9 untouched
+
+    full = stage_dedup(cat, ["old", "newds"], clusters_table="clusters_full")
+    assert got == {(r[ID], r["component"]) for r in full.collect()}

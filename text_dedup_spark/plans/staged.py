@@ -111,6 +111,71 @@ def stage_dedup(
     return out
 
 
+def stage_dedup_incremental(
+    catalog,
+    old_datasets: list[str],
+    new_datasets: list[str],
+    run_id: str | None = None,
+    clusters_table: str = "clusters",
+    hot_threshold: int | None = None,
+    bucket_by_id: int | None = None,
+) -> DataFrame:
+    """Stage B for GROWING corpora: fold newly hashed datasets into an
+    existing cluster table without re-clustering the whole corpus.
+
+    Exactness argument (assignments are proven bit-equal to a full
+    ``stage_dedup`` over old+new in tests/test_staged_pipeline.py):
+    - only LSH buckets containing at least one NEW id can generate edges
+      that did not exist before, so the bucket-min aggregation runs over
+      just those buckets (semi-join of all band rows against the distinct
+      new (band, band_hash) keys — for hit buckets it sees the same
+      old+new membership the full pass would);
+    - connectivity among old-only rows is carried by the previous
+      assignment table itself, replayed as (id -> component) edges: CC of
+      a roots-absent star assignment reproduces exactly its components;
+    - a new row bridging two old clusters merges them in the combined CC,
+      and component ids stay the global cluster-min either way.
+
+    Scale shape: the expensive parts — signature hashing of old datasets
+    (skipped: checkpoints) and the bucket-min shuffle over the full corpus
+    (now only hit buckets) — scale with the NEW data volume, not the
+    corpus. The old band checkpoints are still scanned once (narrow
+    columns) to find hit-bucket members; the prior assignment table
+    re-enters CC as edges (O(duplicates), << corpus)."""
+    run_id = run_id or uuid.uuid4().hex
+    t = Timer()
+    with t("dedup_inc"):
+        bands_new = catalog.read_many([bands_name(ds) for ds in new_datasets])
+        bands_old = catalog.read_many([bands_name(ds) for ds in old_datasets])
+        hit = bands_new.select("band", "band_hash").distinct()
+        relevant = bands_old.join(hit, ["band", "band_hash"], "left_semi").unionByName(
+            bands_new.select(*bands_old.columns)
+        )
+        new_edges = candidate_edges(relevant, ID, hot_threshold=hot_threshold)
+        prev = (catalog.read_bucketed if catalog.is_bucketed(clusters_table)
+                else catalog.read)(clusters_table)
+        prev_edges = prev.select(
+            F.col(ID).alias("src"), F.col("component").alias("dst")
+        )
+        assignments = connected_components(new_edges.unionByName(prev_edges), ID)
+        # overwrite-in-place would drop the old table before the plan that
+        # reads it runs: stage through a temp checkpoint, then swap
+        tmp = f"{clusters_table}__incoming"
+        if bucket_by_id:
+            catalog.write_bucketed(assignments, tmp, ID, bucket_by_id)
+            catalog.write_bucketed(catalog.read_bucketed(tmp), clusters_table, ID, bucket_by_id)
+        else:
+            catalog.write(assignments, tmp)
+            catalog.write(catalog.read(tmp), clusters_table)
+    out = (catalog.read_bucketed if bucket_by_id else catalog.read)(clusters_table)
+    log_metric(
+        catalog, run_id, "dedup_inc", ",".join(new_datasets),
+        bands_new.count(), out.count(), t.elapsed_times["dedup_inc"],
+    )
+    log_partition_lineage(catalog, run_id, "dedup_inc", out)
+    return out
+
+
 def stage_remove(
     catalog,
     dataset: str,
