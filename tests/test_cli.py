@@ -46,8 +46,18 @@ def test_cli_staged_hash_dedup_remove(spark, corpus_path, tmp_path):
     _run(["remove", "--checkpoint_dir", ckpt, "--dataset", "ds1"])
     kept = spark.read.parquet(f"{ckpt}/ds1__kept")
     removed = spark.read.parquet(f"{ckpt}/ds1__removed")
-    assert kept.count() + removed.count() == spark.read.parquet(corpus_path).count()
+    total = spark.read.parquet(corpus_path).count()
+    assert kept.count() + removed.count() == total
     assert removed.count() > 0  # planted dups exist
+
+    # incremental stage B: ds2 is a full copy of the corpus, so every ds2
+    # row is an exact duplicate of a ds1 row -> all of ds2 is removed
+    _run(["hash", "--input", corpus_path, "--dataset", "ds2",
+          "--start_id", str(total), *common])
+    _run(["dedup", "--checkpoint_dir", ckpt,
+          "--datasets", "ds1", "--new_datasets", "ds2"])
+    _run(["remove", "--checkpoint_dir", ckpt, "--dataset", "ds2"])
+    assert spark.read.parquet(f"{ckpt}/ds2__removed").count() == total
 
 
 def test_cli_exact_and_suffix(spark, corpus_path, tmp_path):

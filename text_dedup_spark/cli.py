@@ -133,12 +133,15 @@ def cmd_hash(args) -> None:
 
 
 def cmd_dedup(args) -> None:
-    from .plans.staged import stage_dedup
+    from .plans.staged import stage_dedup, stage_dedup_incremental
     from .sources.catalog import ParquetCatalog
 
     spark, _own = _session("text-dedup-dedup")
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
-    stage_dedup(catalog, args.datasets)
+    if getattr(args, "new_datasets", None):
+        stage_dedup_incremental(catalog, args.datasets, args.new_datasets)
+    else:
+        stage_dedup(catalog, args.datasets)
     if _own:
         spark.stop()
 
@@ -392,6 +395,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("dedup", help="stage B: global connected components")
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--datasets", nargs="+", required=True)
+    p.add_argument(
+        "--new_datasets", nargs="+", default=None,
+        help="incremental mode: fold these newly hashed datasets into the "
+        "existing cluster table (--datasets = the already-clustered ones) "
+        "without re-clustering the corpus",
+    )
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("remove", help="stage C: split kept/removed")
