@@ -831,12 +831,67 @@ def gen_cache(n_images: int) -> dict:
     return {"cache": path, "built": True}
 
 
+def semdedup_bench(n_rows: int = 200_000, dim: int = 64, n_clusters: int = 128) -> dict:
+    """Throughput + hot-cell-path overhead for operators/semdedup.py on a
+    deterministic synthetic embedding corpus: n_rows vectors in `groups`
+    direction-groups of planted duplicates (20% of rows are scaled copies),
+    generated executor-side from the row id (no driver materialization).
+    Reports wall + rows/s for the default path and for a cell_cap that
+    forces every cell through the blocked-edges + distributed-CC path, plus
+    the assignment-count parity between the two."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from text_dedup_spark.operators.semdedup import semantic_dedup
+
+    spark = _session(CPUS)
+    groups = n_rows // 5  # avg 5 rows per direction; 1 in 5 rows a dup copy
+
+    @pandas_udf("array<float>")
+    def gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            g, slot = divmod(int(i), 5)
+            if slot == 4 and g % 4 == 0:  # planted scaled duplicate of slot 0
+                rng, scale = np.random.RandomState((g * 7) % 2**31), 2.0
+            else:  # distinct random direction per (group, slot)
+                rng, scale = np.random.RandomState((g * 7 + slot) % 2**31), 1.0
+            u = rng.normal(size=dim)
+            out.append((u / np.linalg.norm(u) * scale).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    base = (
+        spark.range(0, groups * 5, 1, CPUS * 4)
+        .select(F.col("id").alias("vec_id"), gen(F.col("id")).alias("embedding"))
+        .persist()
+    )
+    base.count()
+
+    out = {"n_rows": groups * 5, "dim": dim, "n_clusters": n_clusters, "cpus": CPUS}
+    for label, cap in (("default", 50_000), ("forced_blocked", 200)):
+        t0 = time.monotonic()
+        n_assign = semantic_dedup(
+            base, eps=0.99, n_clusters=n_clusters, keep="min_id", cell_cap=cap
+        ).count()
+        wall = round(time.monotonic() - t0, 3)
+        out[label] = {
+            "wall_s": wall,
+            "rows_per_sec": round(groups * 5 / wall, 1),
+            "assignments": n_assign,
+        }
+    base.unpersist()
+    spark.stop()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", type=int, default=None)
     ap.add_argument("--gen-cache", action="store_true")
     ap.add_argument("--microbench", action="store_true")
+    ap.add_argument("--semdedup", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--images", type=int, default=SCALING_IMAGES)
     ap.add_argument("--phase", default="full", choices=["full", "parallel"])
@@ -849,6 +904,8 @@ def main() -> None:
         ))
     elif args.gen_cache:
         print(json.dumps(gen_cache(args.images)))
+    elif args.semdedup:
+        print(json.dumps(semdedup_bench()))
     elif args.skew:
         print(json.dumps(skew_bench()))
     elif args.microbench:
