@@ -7,6 +7,7 @@ per-document metric.
 Published full-size numbers (n_groups=800, BENCH/QUALITY.md + README):
   MinHash        P 0.9501  R 0.9441  F1 0.9471   (reference: 0.9464/0.9446/0.9455)
   SimHash swept  P 0.9467  R 0.9403  F1 0.9435   (reference swept: 0.9011/0.6959/0.7853)
+  SemDeDup       P 0.9413  R 0.9361  F1 0.9387   (hashed-shingle embeddings, eps 0.8)
 """
 
 from text_dedup_spark.plans.quality_bench import (
@@ -48,6 +49,9 @@ def test_labelled_fuzzy_quality_reference_comparable(spark):
     assert mh["f1"] >= 0.92, mh
     sw = out["simhash_swept"]
     assert sw["f1"] >= 0.85, sw  # reference swept SimHash: 0.7853
+    # the embedding tier must land in the same band on the same corpus
+    # (full-size measured 0.9387; margin for the smaller test corpus)
+    assert out["semdedup"]["f1"] >= 0.90, out["semdedup"]
     # the fuzzy tail is real: the un-swept default must NOT be perfect
     assert out["simhash"]["f1"] < 0.9
 

@@ -191,6 +191,38 @@ def _big_cell_edges(
     )
 
 
+def hashed_shingle_embeddings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    dim: int = 512,
+    ngram: int = 5,
+) -> DataFrame:
+    """Model-free text embedding for semantic_dedup: signed feature-hashed
+    bag of word ``ngram``-shingles (crc32 -> bucket index + sign). Cosine
+    over these vectors tracks shingle-set overlap (for same-length docs,
+    cosine of shingle indicators ~ 2J/(1+J) of their Jaccard J), so it
+    lands the same fuzzy-duplicate regime as MinHash at threshold ~0.7 when
+    eps ~ 0.8 — without any model weights. Deterministic across workers
+    (crc32, not Python's salted hash). Returns (id_col, embedding)."""
+    import zlib
+
+    @F.pandas_udf("array<float>")
+    def embed(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").split()
+            vec = np.zeros(dim, dtype=np.float64)
+            n = max(len(words) - ngram + 1, 0)
+            for i in range(n):
+                h = zlib.crc32(" ".join(words[i : i + ngram]).encode("utf-8"))
+                vec[h % dim] += 1.0 if (h >> 31) & 1 else -1.0
+            out.append(vec.astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), embed(F.col(text_col)).alias("embedding"))
+
+
 def semantic_dedup(
     df: DataFrame,
     eps: float,

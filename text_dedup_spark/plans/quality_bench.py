@@ -189,5 +189,15 @@ def run_quality_bench(spark: SparkSession, n_groups: int = 800, seed: int = 42) 
         docs, "text", SimHashConfig(f=64, bit_diff=7, num_bucket=8, ngram=3), "doc_id"
     )
     out["simhash_swept"] = score_assignments(docs, sh7, truth)
+    # third tier: SemDeDup over model-free hashed-shingle embeddings.
+    # eps 0.8 ~ the cosine image of Jaccard 0.7 under the indicator-vector
+    # map (cos ~ 2J/(1+J)); n_clusters sized so cells hold ~sqrt(n) docs.
+    from ..operators.semdedup import hashed_shingle_embeddings, semantic_dedup
+
+    emb = hashed_shingle_embeddings(docs, "text", "doc_id")
+    sd = semantic_dedup(
+        emb, eps=0.8, id_col="doc_id", n_clusters=48, keep="min_id"
+    )
+    out["semdedup"] = score_assignments(docs, sd, truth)
     docs.unpersist()
     return out
