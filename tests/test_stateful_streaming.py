@@ -238,3 +238,91 @@ def test_capacity_cap_evicts_oldest(spark, tmp_path):
     # r0 first-seen; r1->r0; r2->r0 then r0 evicted; r3->r1 (earliest live
     # after [r1, r2]) then r1 evicted; r4->r2
     assert got == {0: None, 1: 0, 2: 0, 3: 1, 4: 2}
+
+
+# --- embedding-tier twin: streaming_embedding_near_dup ----------------------
+
+import numpy as np
+from pyspark.sql.types import ArrayType, FloatType
+
+from text_dedup_spark.streaming.stateful import streaming_embedding_near_dup
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+_RNG = np.random.RandomState(41)
+_U = _RNG.normal(size=32)
+_U /= np.linalg.norm(_U)
+_W = _RNG.normal(size=32)
+_W /= np.linalg.norm(_W)
+
+
+def _vrow(vid, vec, minutes):
+    return (vid, [float(x) for x in vec], _t(minutes))
+
+
+def _run_emb(spark, tmp_path, rows, name, sink="memory", **kwargs):
+    path = str(tmp_path / "emb_in")
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(EMB_SCHEMA).parquet(path)
+    flags = streaming_embedding_near_dup(
+        stream, "embedding", "ts", eps=0.99, id_col="vec_id", **kwargs
+    )
+    writer = flags.writeStream.outputMode("append").option(
+        "checkpointLocation", str(tmp_path / f"ckpt_{name}")
+    ).trigger(availableNow=True)
+    if sink == "memory":
+        q = writer.format("memory").queryName(name).start()
+    else:
+        q = writer.format("parquet").start(str(tmp_path / f"out_{name}"))
+    q.awaitTermination(180)
+
+
+def _collapsed_emb(spark, name, tmp_path=None):
+    src = (
+        spark.read.parquet(str(tmp_path / f"out_{name}"))
+        if tmp_path is not None
+        else spark.table(name)
+    )
+    return {
+        r["vec_id"]: r["dup_src"]
+        for r in collapse_near_dup_flags(src, id_col="vec_id").collect()
+    }
+
+
+def test_embedding_stream_flags_earliest_live_source(spark, tmp_path):
+    """Scaled copies (cosine exactly 1.0, different bytes) flag to the
+    earliest live source; an orthogonal row never flags."""
+    rows = [
+        _vrow(10, _U, 0),
+        _vrow(11, _U * 1.5, 1),
+        _vrow(12, _W, 1),
+        _vrow(13, _U * 0.5, 2),
+    ]
+    _run_emb(spark, tmp_path, rows, "embflags")
+    got = _collapsed_emb(spark, "embflags")
+    assert got == {10: None, 11: 10, 12: None, 13: 10}
+
+
+def test_embedding_stream_watermark_expiry_across_restart(spark, tmp_path):
+    """State is watermark-bounded across checkpoint restarts: a scaled copy
+    arriving long after its source's event time is NOT flagged (the source
+    expired), while a fresh in-window pair still flags."""
+    # batch 1: anchor at t0; the _W row at t0+30min pushes the watermark to
+    # t0+20min, past the anchor
+    _run_emb(spark, tmp_path, [_vrow(20, _U, 0), _vrow(22, _W, 30)],
+             "embexp", sink="parquet", watermark="10 minutes")
+    # batch 2 (same checkpoint): copy of the EXPIRED anchor not flagged;
+    # copy of the still-live _W row flagged
+    _run_emb(
+        spark, tmp_path,
+        [_vrow(21, _U * 2.0, 31), _vrow(23, _W * 1.5, 32)],
+        "embexp", sink="parquet", watermark="10 minutes",
+    )
+    got = _collapsed_emb(spark, "embexp", tmp_path)
+    assert got == {20: None, 21: None, 22: None, 23: 22}

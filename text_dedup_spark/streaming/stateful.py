@@ -204,6 +204,124 @@ def streaming_simhash_near_dup(
     )
 
 
+def streaming_embedding_near_dup(
+    stream: DataFrame,
+    vec_col: str,
+    ts_col: str,
+    eps: float,
+    id_col: str = ID,
+    watermark: str = "10 minutes",
+    nbits: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_state_per_bucket: int = 256,
+) -> DataFrame:
+    """The embedding-tier twin of ``streaming_simhash_near_dup``: flag a
+    stream row whose embedding has cosine >= eps with an EARLIER still-live
+    row, discovered through the same sign-LSH bucket keys as the batch path
+    (operators/ann.py make_sign_lsh_udf — bit-identical bucket membership
+    between modes) and verified with the same rounded float64 cosine.
+
+    Same scale contract as the SimHash operator: state keyed by
+    (table, key) spreads like the batch bucket join; watermark-pruned +
+    event-time-timeout-removed; capacity-capped (a pathological bucket
+    degrades to "matches the most recent N", never unbounded memory —
+    note the per-entry state here is a full vector, so the cap bounds
+    ~cap x dim x 4 bytes per bucket). Output: one row per (input row x
+    table) — ``(id, ts, tbl, dup_src)``; collapse with
+    ``collapse_near_dup_flags``."""
+    from ..operators.ann import _round_half_up, make_sign_lsh_udf
+
+    wm_ms = _duration_ms(watermark)
+    cap = max_state_per_bucket
+    udf = make_sign_lsh_udf(nbits, n_tables, seed)
+    bucketed = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.col(vec_col).alias("__v__"),
+            F.posexplode_outer(udf(F.col(vec_col))).alias("tbl", "key"),
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(ts_col, TimestampType()),
+            StructField("tbl", IntegerType()),
+            StructField("dup_src", LongType()),
+        ]
+    )
+
+    def flag(
+        key: Tuple[int, int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids, vecs, tss = (
+            (list(t) for t in state.get) if state.exists else ([], [], [])
+        )
+        vecs = [list(v) for v in vecs]
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="stable"
+        )
+        wm = state.getCurrentWatermarkMs()
+        if ids and wm > 0:
+            live = [i for i, t in enumerate(tss) if t >= wm]
+            ids = [ids[i] for i in live]
+            vecs = [vecs[i] for i in live]
+            tss = [tss[i] for i in live]
+
+        out_ids, out_ts, out_src = [], [], []
+        for rid, rts, rv in zip(
+            pdf[id_col].values, pdf[ts_col].values, pdf["__v__"].values
+        ):
+            src = None
+            if vecs:
+                mat = np.array(vecs, dtype=np.float64)
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+                q = np.asarray(rv, dtype=np.float64)
+                q /= max(float(np.linalg.norm(q)), 1e-300)
+                hits = np.nonzero(_round_half_up(mat @ q) >= eps)[0]
+                if len(hits):
+                    best = min(hits, key=lambda i: (tss[i], ids[i]))
+                    src = ids[best]
+            out_ids.append(int(rid))
+            out_ts.append(rts)
+            out_src.append(src)
+            ids.append(int(rid))
+            vecs.append([float(x) for x in rv])
+            tss.append(int(pd.Timestamp(rts).value // 1_000_000))
+            if len(ids) > cap:
+                drop = min(range(len(tss)), key=lambda i: (tss[i], ids[i]))
+                del ids[drop], vecs[drop], tss[drop]
+
+        state.update((ids, vecs, tss))
+        state.setTimeoutTimestamp(max(max(tss) + wm_ms, wm + 1))
+        yield pd.DataFrame(
+            {
+                id_col: pd.array(out_ids, dtype="int64"),
+                ts_col: out_ts,
+                "tbl": np.full(len(out_ids), key[0], dtype=np.int32),
+                "dup_src": pd.array(out_src, dtype="Int64"),
+            }
+        )
+
+    return bucketed.groupBy("tbl", "key").applyInPandasWithState(
+        flag,
+        out_schema,
+        "ids array<long>, vecs array<array<float>>, ts_ms array<long>",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def collapse_near_dup_flags(flags: DataFrame, id_col: str = ID) -> DataFrame:
     """Batch collapse of the per-bucket flag frame (run over the sink table
     or inside foreachBatch): one row per id, ``dup_src`` = the earliest
