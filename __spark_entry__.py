@@ -347,6 +347,43 @@ def q_line_dedup(spark, sf_dir):
     return dedup_lines(d, "text", "doc_id")
 
 
+def q_image_modality_audit(spark, sf_dir):
+    """Cross-modality consistency audit over a deterministic synthetic
+    image+caption table (20 groups x 4 slots, seed 23, real PNG decode ->
+    phash): slot 1 reuses the anchor's CAPTION on a different image
+    (caption_dup_image_diff), slot 2 reuses the anchor's IMAGE under a
+    different caption (image_dup_caption_diff), slot 3 is a consistent
+    duplicate of the anchor (same image AND caption — must NOT flag).
+    Expected rows are exactly the planted disagreements."""
+    import numpy as np
+
+    from text_dedup_spark.functions.image_udf import phash_from_bytes
+    from text_dedup_spark.operators.audit import modality_disagreement
+    from text_dedup_spark.sources.png import encode_png
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for g in range(20):
+        anchor = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        other = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        cap = f"caption-{g}"
+        slots = [
+            (anchor, cap),           # 0: anchor
+            (other, cap),            # 1: caption reused, image differs
+            (anchor, cap + "-alt"),  # 2: image reused, caption differs
+            (anchor, cap),           # 3: consistent duplicate
+        ]
+        for s, (img, c) in enumerate(slots):
+            rows.append((g * 4 + s, bytearray(encode_png(img)), "png", c))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, fmt string, caption string"
+    ).repartition(8)
+    feats = df.select(
+        "img_id", "caption", phash_from_bytes("bytes", "fmt").alias("phash")
+    )
+    return modality_disagreement(feats, "img_id").select("id_a", "id_b", "kind")
+
+
 def q_lang_summary(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -861,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "url_dedup_clusters": q_url_dedup,
         "image_exif_scrub": q_image_exif_scrub,
+        "image_modality_audit": q_image_modality_audit,
         "image_crop_matches": q_image_crop_matches,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
@@ -936,6 +974,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(g * 4 + s AS BIGINT) AS img_id,
                    CAST(g * 4 AS BIGINT) AS component
             FROM range(0, 25) t(g) CROSS JOIN (VALUES (1), (2)) v(s)
+        """,
+        # image_modality_audit: the planted disagreements and ONLY them —
+        # a consistent duplicate slot in every group pins the negative case
+        # (an over-flagging audit would produce extra rows -> red cell).
+        "image_modality_audit": """
+            SELECT CAST(g * 4 AS BIGINT) AS id_a,
+                   CAST(g * 4 + s AS BIGINT) AS id_b,
+                   CASE s WHEN 1 THEN 'caption_dup_image_diff'
+                          ELSE 'image_dup_caption_diff' END AS kind
+            FROM range(0, 20) t(g) CROSS JOIN (VALUES (1), (2)) v(s)
         """,
         # Constructed oracles over the deterministic synthetic media tables
         # (seed 42, sf-independent). The cluster patterns are the planted

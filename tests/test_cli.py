@@ -235,3 +235,16 @@ def test_cli_semdedup(spark, tmp_path):
     removed = spark.read.parquet(f"{out}/removed")
     assert kept.count() == 20 and removed.count() == 8
     assert {r["vec_id"] for r in removed.collect()} == {g * 2 + 1 for g in range(8)}
+
+
+def test_cli_semdedup_from_text(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "sem_text_out")
+    _run(["semdedup", "--input", corpus_path, "--output", out,
+          "--column", "text", "--id_column", "doc_id", "--from_text",
+          "--eps", "0.95", "--n_clusters", "4"])
+    kept = spark.read.parquet(f"{out}/kept")
+    removed = spark.read.parquet(f"{out}/removed")
+    total = spark.read.parquet(corpus_path).count()
+    assert kept.count() + removed.count() == total
+    assert removed.count() > 0  # planted exact dups embed identically
+    assert set(kept.columns) == {"doc_id", "text"}  # original schema kept

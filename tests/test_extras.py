@@ -538,3 +538,61 @@ def test_reassign_survivors_best_score(spark):
     out2 = reassign_survivors(assigns, scores, "doc_id", "score", descending=False)
     rows2 = {r["doc_id"]: r["component"] for r in out2.collect()}
     assert rows2 == {2: 1, 3: 1, 11: 10}
+
+
+def test_modality_disagreement_kinds(spark):
+    """Crafted phash longs + captions: consistent dups flag nothing;
+    same-caption/different-image and same-image/different-caption each
+    flag exactly once with the verified Hamming distance."""
+    from text_dedup_spark.operators.audit import modality_disagreement
+
+    # phash regions are mutually >= 24 bits apart so only the PLANTED
+    # relations hold (an earlier fixture accidentally made 0/0b111/0b110
+    # genuine near-dups — the operator correctly flagged them)
+    def s64(x):  # two's-complement signed long for the phash column
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    a = 0x0F0F0F0F0F0F0F0F
+    b1 = s64(0xF0F0F0F0F0F0F0F0)
+    c1 = 0x00000000FFFFFFFF
+    d1 = s64(0xFFFFFFFF00000000)
+    rows = [
+        (1, "cap1", a),            # consistent dup pair (with 2)
+        (2, "cap1", a),
+        (3, "cap2", b1),           # same caption, image 16 bits apart
+        (4, "cap2", b1 ^ 0xFFFF),
+        (5, "cap3", c1),           # image 1 bit apart, captions differ
+        (6, "cap4", c1 ^ 1),
+        (7, "cap5", d1),           # unrelated (28 bits from anything)
+        (8, "cap6", d1 ^ 0x0F0F0F0F0F0F0F0F),
+    ]
+    feats = spark.createDataFrame(rows, "img_id long, caption string, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["kind"], r["hamming"])
+        for r in modality_disagreement(feats, "img_id").collect()
+    }
+    assert got == {
+        (3, 4, "caption_dup_image_diff", 16),
+        (5, 6, "image_dup_caption_diff", 1),
+    }
+
+
+def test_modality_disagreement_hot_caption_is_linear(spark):
+    """A boilerplate caption shared by n rows emits at most n-1 star pairs,
+    never the quadratic pair set."""
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.operators.audit import modality_disagreement
+
+    n = 2000
+    feats = spark.range(n).select(
+        F.col("id").alias("img_id"),
+        F.lit("same boilerplate caption").alias("caption"),
+        # alternate between two far-apart phash values -> every star pair
+        # with the rep (id 0) where the member has the other value flags
+        (F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.lit(0xFFFF)))
+        .cast("long").alias("phash"),
+    )
+    out = modality_disagreement(feats, "img_id")
+    flagged = out.where(out.kind == "caption_dup_image_diff").count()
+    assert flagged == n // 2  # odd ids vs rep 0; never ~n^2/4 cross pairs

@@ -232,11 +232,19 @@ def cmd_semdedup(args) -> None:
     if id_col is None:
         df = assign_unique_ids(df, ID)
         id_col = ID
+    if args.from_text:
+        # no embedding column needed: model-free hashed-shingle vectors
+        from .operators.semdedup import hashed_shingle_embeddings
+
+        vec_df = hashed_shingle_embeddings(df, args.column, id_col)
+        vec_col = "embedding"
+    else:
+        vec_df, vec_col = df, args.column
     assigns = semantic_dedup(
-        df,
+        vec_df,
         eps=args.eps,
         id_col=id_col,
-        vec_col=args.column,
+        vec_col=vec_col,
         n_clusters=args.n_clusters,
         keep=args.keep,
         cell_cap=args.cell_cap,
@@ -472,6 +480,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_clusters", type=int, default=64)
     p.add_argument("--keep", default="low", choices=["low", "high", "min_id"])
     p.add_argument("--cell_cap", type=int, default=50_000)
+    p.add_argument(
+        "--from_text", action="store_true",
+        help="treat --column as TEXT and embed it with model-free "
+        "hashed-shingle vectors before deduplicating",
+    )
     p.set_defaults(fn=cmd_semdedup)
 
     p = sub.add_parser(

@@ -48,6 +48,83 @@ def audit_false_positives(
     )
 
 
+def modality_disagreement(
+    feats: DataFrame,
+    id_col: str,
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    bit_diff: int = 3,
+    num_bucket: int = 4,
+) -> DataFrame:
+    """Cross-modality consistency audit for image+caption corpora — the
+    curation signal neither single-modality dedup surfaces:
+
+    - ``caption_dup_image_diff``: two rows share the EXACT caption but
+      their images are NOT near-duplicates (phash Hamming > bit_diff) —
+      stock/boilerplate caption reuse or a mislabeled pair; deduping on
+      captions alone would wrongly collapse them.
+    - ``image_dup_caption_diff``: two rows are image near-duplicates
+      (Hamming <= bit_diff through the audited SimHash bucket machinery)
+      but their captions differ — the same picture re-captioned; caption
+      dedup alone would wrongly keep both.
+
+    Scale shape: caption groups use the exact-dedup pattern (groupBy +
+    min-id representative, STAR pairs only — a boilerplate caption shared
+    by 10^6 rows costs 10^6-1 pairs, never quadratic); image near-pairs
+    reuse ``simhash_edges`` (bucketed, Hamming-verified, identical-
+    signature collapse inside). Returns (id_a, id_b, kind, hamming) with
+    id_a < id_b.
+
+    No reference analog: text-dedup is single-modality by construction.
+    """
+    from ..config import SimHashConfig
+    from .simhash_dedup import simhash_edges
+
+    f = feats.select(
+        F.col(id_col).alias("id"),
+        F.col(caption_col).alias("cap"),
+        F.col(phash_col).cast("long").alias("ph"),
+    )
+    # caption star pairs: member vs the caption group's min-id rep
+    reps = f.groupBy("cap").agg(
+        F.min_by(F.struct("id", "ph"), F.col("id")).alias("__r__")
+    ).select("cap", F.col("__r__.id").alias("rep"), F.col("__r__.ph").alias("rep_ph"))
+    cap_pairs = (
+        f.join(reps, "cap")
+        .where(F.col("id") != F.col("rep"))
+        .select(
+            F.least("rep", "id").alias("id_a"),
+            F.greatest("rep", "id").alias("id_b"),
+            F.bit_count(F.col("ph").bitwiseXOR(F.col("rep_ph"))).alias("hamming"),
+        )
+        .where(F.col("hamming") > bit_diff)
+        .withColumn("kind", F.lit("caption_dup_image_diff"))
+    )
+    # image near-dup pairs whose captions differ
+    edges = simhash_edges(
+        f.select(F.col("id"), F.col("ph").alias("sig")),
+        SimHashConfig(f=64, bit_diff=bit_diff, num_bucket=num_bucket),
+        "id",
+    )
+    ca = f.select(F.col("id").alias("src"), F.col("cap").alias("__ca__"),
+                  F.col("ph").alias("__pa__"))
+    cb = f.select(F.col("id").alias("dst"), F.col("cap").alias("__cb__"),
+                  F.col("ph").alias("__pb__"))
+    img_pairs = (
+        edges.join(ca, "src")
+        .join(cb, "dst")
+        .where(F.col("__ca__") != F.col("__cb__"))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+            F.bit_count(F.col("__pa__").bitwiseXOR(F.col("__pb__"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("kind", F.lit("image_dup_caption_diff"))
+    )
+    return cap_pairs.unionByName(img_pairs).select("id_a", "id_b", "kind", "hamming")
+
+
 def audit_summary(audited: DataFrame) -> DataFrame:
     """(n_members, n_false_positive, fp_rate, avg_jaccard, min_jaccard)."""
     return audited.agg(
