@@ -308,3 +308,35 @@ def test_mixed_small_and_big_cells(spark):
     )
     assert capped == uncapped
     assert (5000, 0) in capped and (6000, 1000) in capped
+
+
+def test_image_pipeline_fourth_modality(spark):
+    """The opt-in pixel-embedding modality collapses a ramp-overlay pair
+    the 3-modality pipeline misses (6 flipped phash bits > bit_diff 3,
+    different bytes, different captions)."""
+    from text_dedup_spark.config import MinHashConfig
+    from text_dedup_spark.plans.image_pipeline import image_dedup
+    from text_dedup_spark.sources.png import encode_png
+
+    base = _block_image(27)
+    ramp = np.linspace(0, 30, 32).astype(np.int32)[None, :, None]
+    variant = np.clip(base.astype(np.int32) + ramp, 0, 255).astype(np.uint8)
+    others = [_block_image(s) for s in (201, 202, 203)]
+    rows = []
+    for i, img in enumerate([base, variant] + others):
+        rows.append((f"img-{i}", bytearray(encode_png(img)), "png",
+                     f"unique caption number {i} " + "pad " * 20, 0))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string, phash long"
+    )
+    cfg = MinHashConfig(num_perm=32)
+
+    three = image_dedup(df, minhash_cfg=cfg, phash_source="pixels")
+    assert three.kept.count() == 5  # ramp pair NOT collapsed
+
+    four = image_dedup(
+        df, minhash_cfg=cfg, phash_source="pixels", pixel_embedding_eps=0.98,
+        embedding_n_clusters=2,
+    )
+    kept_ids = {r["image_id"] for r in four.kept.select("image_id").collect()}
+    assert kept_ids == {"img-0", "img-2", "img-3", "img-4"}  # variant removed

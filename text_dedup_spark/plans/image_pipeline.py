@@ -64,6 +64,8 @@ def image_dedup(
     hot_threshold: int | None = None,
     short_doc_policy: str = "cluster",
     undecodable: str = "error",
+    pixel_embedding_eps: float | None = None,
+    embedding_n_clusters: int = 64,
 ) -> ImageDedupResult:
     """``phash_source``: 'column' trusts the stored phash int64;
     'pixels' recomputes it from the image bytes with the Arrow-batched
@@ -75,7 +77,17 @@ def image_dedup(
     a payload the container cannot decode; 'flag' records decode_ok=false
     for it (arithmetic-coded JPEG, corrupt bytes), keeps it OUT of the phash
     modality (no pixel evidence), and still dedups it by exact bytes and
-    caption — the production policy for real web corpora."""
+    caption — the production policy for real web corpora.
+
+    ``pixel_embedding_eps``: opt-in FOURTH modality — SemDeDup over the
+    centered block-mean pixel embedding (functions/image_udf.
+    image_embedding), whose cosine survives affine brightness changes and
+    smooth overlays that push phash past its Hamming budget. Its
+    assignment table feeds the same single CC pass as the other three
+    edge sets (assignments ARE id->group-min star edges). Costs one extra
+    decode pass over the bytes when enabled (the three-modality path is
+    untouched when None); flagged-undecodable rows are excluded exactly
+    like the phash modality."""
     minhash_cfg = (minhash_cfg or MinHashConfig()).resolve()
     simhash_cfg = simhash_cfg or SimHashConfig()
 
@@ -161,6 +173,24 @@ def image_dedup(
         .unionByName(caption_edges)
         .unionByName(image_edges)
     )
+    if pixel_embedding_eps is not None:
+        from ..functions.image_udf import image_embedding
+        from ..operators.semdedup import semantic_dedup
+
+        emb_src = corpus
+        if flag_mode:
+            ok = feats.where(F.col("__decok__")).select(ID)
+            emb_src = corpus.join(ok, ID, "left_semi")
+        emb = emb_src.select(
+            F.col(ID), image_embedding(F.col("bytes"), F.col("fmt")).alias("embedding")
+        )
+        sem = semantic_dedup(
+            emb, eps=pixel_embedding_eps, id_col=ID,
+            n_clusters=embedding_n_clusters, keep="min_id",
+        )
+        all_edges = all_edges.unionByName(
+            sem.select(F.col(ID).alias("src"), F.col("component").alias("dst"))
+        )
     merged = connected_components(all_edges, ID)
     bands.unpersist()
     feats.unpersist()
