@@ -248,3 +248,16 @@ def test_cli_semdedup_from_text(spark, corpus_path, tmp_path):
     assert kept.count() + removed.count() == total
     assert removed.count() > 0  # planted exact dups embed identically
     assert set(kept.columns) == {"doc_id", "text"}  # original schema kept
+
+
+def test_cli_image_dedup_one_shot(spark, tmp_path):
+    from text_dedup_spark.sources.synth import images_table
+
+    inp = str(tmp_path / "imgs1s")
+    images_table(spark, 100, seed=42).write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "imgout")
+    _run(["image-dedup", "--input", inp, "--output", out,
+          "--num_perm", "64", "--threshold", "0.7",
+          "--phash_source", "pixels", "--pixel_embedding_eps", "0.995"])
+    kept = spark.read.parquet(f"{out}/kept").count()
+    assert 0 < kept < 100  # planted duplicate slots removed

@@ -158,6 +158,26 @@ def cmd_remove(args) -> None:
         spark.stop()
 
 
+def cmd_image_dedup(args) -> None:
+    from .config import SimHashConfig
+    from .plans.image_pipeline import image_dedup
+
+    spark, _own = _session("text-dedup-image-dedup")
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    res = image_dedup(
+        df,
+        minhash_cfg=_minhash_cfg(args),
+        simhash_cfg=SimHashConfig(bit_diff=args.bit_diff),
+        phash_source=args.phash_source,
+        hot_threshold=args.hot_threshold,
+        undecodable=args.undecodable,
+        pixel_embedding_eps=args.pixel_embedding_eps,
+    )
+    _write(res.kept, f"{args.output}/kept", args.output_format)
+    if _own:
+        spark.stop()
+
+
 def cmd_image_features(args) -> None:
     from .plans.staged_image import stage_features
     from .sources.catalog import ParquetCatalog
@@ -415,6 +435,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--dataset", required=True)
     p.set_defaults(fn=cmd_remove)
+
+    p = sub.add_parser(
+        "image-dedup",
+        help="one-shot image+caption dedup (exact bytes + caption MinHash + "
+        "phash Hamming in ONE CC pass; --pixel_embedding_eps adds the "
+        "SemDeDup pixel-embedding modality)",
+    )
+    _add_minhash_args(p)
+    p.add_argument("--bit_diff", type=int, default=3)
+    p.add_argument("--phash_source", default="column", choices=["column", "pixels"])
+    p.add_argument("--undecodable", default="error", choices=["error", "flag"])
+    p.add_argument("--pixel_embedding_eps", type=float, default=None)
+    p.set_defaults(fn=cmd_image_dedup)
 
     p = sub.add_parser("image-features",
                        help="image stage A: per-row features + band checkpoints")
