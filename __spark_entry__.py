@@ -95,6 +95,17 @@ def q_exact_dup_assignments(spark, sf_dir):
     return exact_assignments(df, "text", "doc_id")
 
 
+def q_dedup_report(spark, sf_dir):
+    """One-row dedup impact summary (rows/chars removed, cluster count,
+    largest cluster) over the exact-dup corpus — the operational readout
+    a pipeline owner checks before committing a removal."""
+    from text_dedup_spark.operators.apply import dedup_report
+
+    df = _docs_with_exact_dups(spark, sf_dir)
+    assigns = exact_assignments(df, "text", "doc_id")
+    return dedup_report(df, assigns, "doc_id", text_col="text")
+
+
 def q_doc_stats(spark, sf_dir):
     return doc_stats(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -887,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_survivors": q_exact_dedup_survivors,
         "exact_dup_assignments": q_exact_dup_assignments,
+        "dedup_report": q_dedup_report,
         "doc_stats": q_doc_stats,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1048,6 +1060,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, m.component
             FROM h JOIN m USING (hh)
             WHERE h.doc_id <> m.component
+        """,
+        "dedup_report": f"""
+            WITH h AS (SELECT doc_id, text, md5(text) AS hh FROM ({_EXACT_DUP_UNION})),
+            m AS (SELECT hh, min(doc_id) AS component FROM h GROUP BY hh),
+            asg AS (
+              SELECT h.doc_id, m.component, length(h.text) AS len
+              FROM h JOIN m USING (hh) WHERE h.doc_id <> m.component
+            ),
+            sizes AS (SELECT component, count(*) + 1 AS sz FROM asg GROUP BY component),
+            tot AS (SELECT count(*) AS n_docs, sum(length(text)) AS chars FROM h)
+            SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+                   CAST((SELECT count(*) FROM asg) AS BIGINT) AS n_removed,
+                   round((SELECT count(*) FROM asg)::DOUBLE / tot.n_docs, 6) AS removed_frac,
+                   round(coalesce((SELECT sum(len) FROM asg), 0)::DOUBLE
+                         / greatest(tot.chars, 1), 6) AS removed_char_frac,
+                   CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_clusters,
+                   CAST(coalesce((SELECT max(sz) FROM sizes), 0) AS BIGINT) AS max_cluster_size
+            FROM tot
         """,
         "doc_stats": f"""
             SELECT doc_id,

@@ -596,3 +596,23 @@ def test_modality_disagreement_hot_caption_is_linear(spark):
     out = modality_disagreement(feats, "img_id")
     flagged = out.where(out.kind == "caption_dup_image_diff").count()
     assert flagged == n // 2  # odd ids vs rep 0; never ~n^2/4 cross pairs
+
+
+def test_dedup_report_planted_and_empty(spark):
+    from text_dedup_spark.operators.apply import dedup_report
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"), (3, "bb"), (4, "aaaa"), (5, "cc")],
+        "doc_id long, text string",
+    )
+    assigns = spark.createDataFrame([(2, 1), (4, 1)], "doc_id long, component long")
+    row = dedup_report(df, assigns, "doc_id", text_col="text").collect()[0]
+    assert (row["n_docs"], row["n_removed"], row["n_clusters"],
+            row["max_cluster_size"]) == (5, 2, 1, 3)
+    assert abs(row["removed_frac"] - 0.4) < 1e-9
+    assert abs(row["removed_char_frac"] - 8 / 16) < 1e-9
+
+    empty = spark.createDataFrame([], "doc_id long, component long")
+    row = dedup_report(df, empty, "doc_id").collect()[0]
+    assert (row["n_removed"], row["n_clusters"], row["max_cluster_size"]) == (0, 0, 0)
+    assert "removed_char_frac" not in row.asDict()

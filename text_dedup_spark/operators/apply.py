@@ -82,6 +82,44 @@ def reassign_survivors(
     )
 
 
+def dedup_report(
+    df: DataFrame,
+    assignments: DataFrame,
+    id_col: str = ID,
+    text_col: str | None = None,
+) -> DataFrame:
+    """One-row impact summary of a dedup run — the operational readout a
+    pipeline owner checks before committing a removal: corpus size, rows
+    removed (and the char share when ``text_col`` is given), cluster count
+    and the largest cluster (a spike there means a degenerate key — e.g.
+    boilerplate — not genuine duplication).
+
+    Scale shape: one corpus aggregate (map-side partial) + one groupBy over
+    the duplicates-only assignment table (<< corpus); no window, no
+    collect beyond the single result row."""
+    a = assignments.select(F.col(id_col), "component")
+    sizes = a.groupBy("component").agg((F.count(F.lit(1)) + 1).alias("__sz__"))
+    clusters = sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.max("__sz__"), F.lit(0)).cast("long").alias("max_cluster_size"),
+    )
+    flagged = df.join(a.select(F.col(id_col), F.lit(1).alias("__rm__")), id_col, "left")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("__rm__"), F.lit(0)).cast("long").alias("n_removed"),
+        F.round(
+            F.coalesce(F.sum("__rm__"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("removed_frac"),
+    ]
+    if text_col is not None:
+        total = F.sum(F.length(F.col(text_col)))
+        removed = F.sum(F.when(F.col("__rm__").isNotNull(), F.length(F.col(text_col))).otherwise(0))
+        aggs.append(
+            F.round(removed / F.greatest(total, F.lit(1)), 6).alias("removed_char_frac")
+        )
+    return flagged.agg(*aggs).crossJoin(clusters)
+
+
 def keep_survivors(df: DataFrame, assignments: DataFrame, id_col: str = ID) -> DataFrame:
     return split_survivors(df, assignments, id_col)[0]
 
