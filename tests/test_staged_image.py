@@ -216,3 +216,81 @@ spark.stop()
         },
     )
     assert local == cluster  # same survivor ids, same order, same hash
+
+
+def test_combined_phash_embedding_udf_parity(spark):
+    """One-decode combined UDF must equal the two separate UDFs bit-for-bit
+    (phash) / value-for-value (embedding)."""
+    import numpy as np
+
+    from text_dedup_spark.functions.image_udf import (
+        image_embedding,
+        phash_embedding_from_bytes,
+        phash_from_bytes,
+    )
+    from text_dedup_spark.sources.png import encode_png
+
+    rng = np.random.RandomState(37)
+    rows = [
+        (i, bytearray(encode_png(rng.randint(0, 256, size=(h, w, 3)).astype("uint8"))), "png")
+        for i, (h, w) in enumerate([(16, 16), (32, 24), (7, 5), (9, 40)])
+    ]
+    df = spark.createDataFrame(rows, "img_id long, bytes binary, fmt string")
+    combined = {
+        r["img_id"]: (r["pe"]["phash"], r["pe"]["embedding"])
+        for r in df.select(
+            "img_id", phash_embedding_from_bytes("bytes", "fmt").alias("pe")
+        ).collect()
+    }
+    separate = {
+        r["img_id"]: (r["ph"], r["emb"])
+        for r in df.select(
+            "img_id",
+            phash_from_bytes("bytes", "fmt").alias("ph"),
+            image_embedding("bytes", "fmt").alias("emb"),
+        ).collect()
+    }
+    assert combined == separate
+
+
+def test_staged_image_fourth_modality(spark, tmp_path):
+    """Staged pipeline with pixel_embedding_eps: the embedding lives in the
+    feats CHECKPOINT (stage B decodes nothing) and the ramp-overlay pair
+    that defeats the phash Hamming budget is collapsed."""
+    import numpy as np
+
+    from text_dedup_spark.config import MinHashConfig
+    from text_dedup_spark.plans.staged_image import run_staged_image
+    from text_dedup_spark.sources.catalog import ParquetCatalog
+    from text_dedup_spark.sources.png import encode_png
+
+    def block_image(seed):
+        rng = np.random.RandomState(seed)
+        levels = rng.randint(40, 216, size=(8, 8))
+        base = np.repeat(np.repeat(levels, 4, 0), 4, 1)
+        base = np.clip(base + rng.randint(-6, 7, size=(32, 32)), 0, 235)
+        return np.stack([base] * 3, axis=2).astype(np.uint8)
+
+    base = block_image(27)
+    ramp = np.linspace(0, 30, 32).astype(np.int32)[None, :, None]
+    variant = np.clip(base.astype(np.int32) + ramp, 0, 255).astype(np.uint8)
+    imgs = [base, variant] + [block_image(s) for s in (301, 302, 303)]
+    rows = [
+        (f"img-{i}", bytearray(encode_png(img)), "png",
+         f"unique caption {i} " + "pad " * 20, 0)
+        for i, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string, phash long"
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "wh4"))
+    out = run_staged_image(
+        cat, {"d": df}, minhash_cfg=MinHashConfig(num_perm=32),
+        phash_source="pixels", pixel_embedding_eps=0.98,
+        embedding_n_clusters=2,  # must sit well below the corpus size
+    )
+    assert out["d"] == (4, 1)
+    feats = cat.read("d__feats")
+    assert "emb" in feats.columns and feats.count() == 5
+    removed = {r["image_id"] for r in cat.read("d__removed").collect()}
+    assert removed == {"img-1"}

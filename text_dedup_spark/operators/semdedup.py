@@ -239,6 +239,12 @@ def semantic_dedup(
     a drop-in for ``apply.split_survivors``, exactly like the MinHash CC
     output.
 
+    ``n_clusters`` must be sized WELL BELOW the number of distinct
+    vectors (the paper uses ~sqrt(n)): with n_clusters >= n every vector
+    seeds its own cell and within-cell scans find nothing — a silent
+    no-op on tiny corpora, deliberate rather than auto-clamped so the
+    cell geometry never changes behind the caller's back.
+
     ``keep``: which member of each semantic-duplicate group survives —
     ``'low'`` (paper default: lowest similarity to the cluster centroid),
     ``'high'``, or ``'min_id'``. Ties (and all identical-vector copies,

@@ -121,6 +121,23 @@ def image_dedup(
             F.col("__pf__.decode_ok").alias("__decok__"),
             "caption",
         ).persist()
+    elif phash_source == "pixels" and pixel_embedding_eps is not None:
+        # both pixel features from ONE decode (see phash_embedding_from_bytes)
+        from ..functions.image_udf import phash_embedding_from_bytes
+
+        feats = corpus.select(
+            F.col(ID),
+            F.sha2(F.col("bytes"), 256).alias("__bhash__"),
+            phash_embedding_from_bytes(F.col("bytes"), F.col("fmt")).alias("__pe__"),
+            F.col("caption"),
+        ).select(
+            ID,
+            "__bhash__",
+            F.col("__pe__.phash").alias("__phash__"),
+            F.col("__pe__.embedding").alias("__emb__"),
+            F.lit(True).alias("__decok__"),
+            "caption",
+        ).persist()
     else:
         if phash_source == "pixels":
             from ..functions.image_udf import phash_from_bytes
@@ -174,16 +191,21 @@ def image_dedup(
         .unionByName(image_edges)
     )
     if pixel_embedding_eps is not None:
-        from ..functions.image_udf import image_embedding
         from ..operators.semdedup import semantic_dedup
 
-        emb_src = corpus
-        if flag_mode:
-            ok = feats.where(F.col("__decok__")).select(ID)
-            emb_src = corpus.join(ok, ID, "left_semi")
-        emb = emb_src.select(
-            F.col(ID), image_embedding(F.col("bytes"), F.col("fmt")).alias("embedding")
-        )
+        if "__emb__" in feats.columns:  # combined-UDF path: zero extra decode
+            emb = feats.select(F.col(ID), F.col("__emb__").alias("embedding"))
+        else:
+            from ..functions.image_udf import image_embedding
+
+            emb_src = corpus
+            if flag_mode:
+                ok = feats.where(F.col("__decok__")).select(ID)
+                emb_src = corpus.join(ok, ID, "left_semi")
+            emb = emb_src.select(
+                F.col(ID),
+                image_embedding(F.col("bytes"), F.col("fmt")).alias("embedding"),
+            )
         sem = semantic_dedup(
             emb, eps=pixel_embedding_eps, id_col=ID,
             n_clusters=embedding_n_clusters, keep="min_id",

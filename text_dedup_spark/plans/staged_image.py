@@ -56,12 +56,49 @@ def stage_features(
     run_id: str | None = None,
     short_doc_policy: str = "cluster",
     undecodable: str = "error",
+    pixel_embedding: bool = False,
 ) -> None:
+    """``pixel_embedding``: also store the centered block-mean embedding in
+    the feats checkpoint (one combined decode with the phash when
+    phash_source='pixels' — functions/image_udf.phash_embedding_from_bytes),
+    so a later ``stage_cluster(pixel_embedding_eps=...)`` adds the SemDeDup
+    modality from the CHECKPOINT with zero image decoding in stage B."""
     run_id = run_id or uuid.uuid4().hex
     minhash_cfg = minhash_cfg.resolve()
     t = Timer()
     with t("features"):
-        if phash_source == "pixels" and undecodable == "flag":
+        if pixel_embedding and phash_source == "pixels" and undecodable != "flag":
+            from ..functions.image_udf import phash_embedding_from_bytes
+
+            feats = df.select(
+                F.xxhash64("image_id").alias(ID),
+                F.col("image_id"),
+                F.sha2(F.col("bytes"), 256).alias("bhash"),
+                phash_embedding_from_bytes(F.col("bytes"), F.col("fmt")).alias("__pe__"),
+                F.col("caption"),
+            ).select(
+                ID, "image_id", "bhash",
+                F.col("__pe__.phash").alias("phash"),
+                F.col("__pe__.embedding").alias("emb"),
+                "caption",
+            )
+        elif pixel_embedding:
+            if phash_source != "column":
+                raise ValueError(
+                    "pixel_embedding with undecodable='flag' is not supported: "
+                    "the flagged path has no embedding for undecodable rows"
+                )
+            from ..functions.image_udf import image_embedding
+
+            feats = df.select(
+                F.xxhash64("image_id").alias(ID),
+                F.col("image_id"),
+                F.sha2(F.col("bytes"), 256).alias("bhash"),
+                F.col("phash").cast("long").alias("phash"),
+                image_embedding(F.col("bytes"), F.col("fmt")).alias("emb"),
+                F.col("caption"),
+            )
+        elif phash_source == "pixels" and undecodable == "flag":
             # skip+flag policy (plans/image_pipeline.py docstring): the
             # feats checkpoint carries decode_ok; stage_cluster excludes
             # flagged rows from the phash modality only
@@ -115,7 +152,13 @@ def stage_cluster(
     run_id: str | None = None,
     clusters_table: str = "clusters",
     hot_threshold: int | None = None,
+    pixel_embedding_eps: float | None = None,
+    embedding_n_clusters: int = 64,
 ) -> DataFrame:
+    """``pixel_embedding_eps``: when the feats checkpoints carry the ``emb``
+    column (stage_features ``pixel_embedding=True``), add SemDeDup edges
+    over it to the single CC pass — stage B touches only the narrow
+    checkpoint, zero image decoding."""
     run_id = run_id or uuid.uuid4().hex
     t = Timer()
     with t("cluster"):
@@ -134,6 +177,22 @@ def stage_cluster(
             .unionByName(caption_edges)
             .unionByName(image_edges)
         )
+        if pixel_embedding_eps is not None:
+            if "emb" not in feats.columns:
+                raise ValueError(
+                    "pixel_embedding_eps needs feats checkpoints written with "
+                    "stage_features(pixel_embedding=True)"
+                )
+            from ..operators.semdedup import semantic_dedup
+
+            sem = semantic_dedup(
+                feats.select(F.col(ID), F.col("emb").alias("embedding")),
+                eps=pixel_embedding_eps, id_col=ID,
+                n_clusters=embedding_n_clusters, keep="min_id",
+            )
+            all_edges = all_edges.unionByName(
+                sem.select(F.col(ID).alias("src"), F.col("component").alias("dst"))
+            )
         catalog.write(connected_components(all_edges, ID), clusters_table)
     out = catalog.read(clusters_table)
     log_metric(catalog, run_id, "cluster", ",".join(datasets),
@@ -171,6 +230,8 @@ def run_staged_image(
     simhash_cfg: SimHashConfig | None = None,
     phash_source: str = "column",
     force: bool = False,
+    pixel_embedding_eps: float | None = None,
+    embedding_n_clusters: int = 64,
 ) -> dict[str, tuple[int, int]]:
     """Full A->B->C over named datasets, resuming past completed
     checkpoints. Returns per-dataset (kept, removed)."""
@@ -180,10 +241,13 @@ def run_staged_image(
 
     for ds, df in inputs.items():
         if force or not (catalog.exists(feats_name(ds)) and catalog.exists(bands_name(ds))):
-            stage_features(catalog, df, minhash_cfg, ds, phash_source, run_id)
+            stage_features(catalog, df, minhash_cfg, ds, phash_source, run_id,
+                           pixel_embedding=pixel_embedding_eps is not None)
 
     if force or not catalog.exists("clusters"):
-        stage_cluster(catalog, list(inputs), simhash_cfg, run_id)
+        stage_cluster(catalog, list(inputs), simhash_cfg, run_id,
+                      pixel_embedding_eps=pixel_embedding_eps,
+                      embedding_n_clusters=embedding_n_clusters)
 
     out = {}
     for ds, df in inputs.items():
