@@ -14,7 +14,7 @@ from .exact import exact_assignments, exact_dedup  # noqa: F401
 from .ids import ID, assign_dense_ids, assign_unique_ids  # noqa: F401
 from .jaccard import jaccard_dedup_edges, verify_pairs  # noqa: F401
 from .lsh import band_rows, candidate_edges, minhash_edges  # noqa: F401
-from .semdedup import semantic_dedup  # noqa: F401
+from .semdedup import hashed_shingle_embeddings, semantic_dedup  # noqa: F401
 from .simhash_dedup import (  # noqa: F401
     simhash_assignments_from_fingerprint,
     simhash_assignments_from_text,
