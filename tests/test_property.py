@@ -294,3 +294,32 @@ def test_gif_roundtrip_property(h, w, n_frames, n_colors, interlace, seed):
     assert np.array_equal(dec, frames)
     for f in frames:
         assert np.array_equal(decode_bmp(encode_bmp(f)), f)
+
+
+# --- semantic dedup vs brute-force oracle (randomized corpora) --------------
+
+small_vecs = st.lists(
+    st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(vec_rows=small_vecs, eps=st.sampled_from([0.9, 0.95, 0.99]))
+@settings(max_examples=10, deadline=None)
+def test_semantic_dedup_matches_bruteforce_oracle(spark, vec_rows, eps):
+    """At n_clusters=1 the within-cell approximation vanishes: groups and
+    min-id survivors must EXACTLY match an all-pairs rounded-cosine
+    union-find. The tiny integer value space makes identical vectors (the
+    collapse path), scaled copies, and zero vectors all arise naturally."""
+    from tests.test_semdedup import make_df, py_min_id_assignments
+    from text_dedup_spark.operators.semdedup import semantic_dedup
+
+    ids = list(range(10, 10 + len(vec_rows)))
+    got = {
+        (r["vec_id"], r["component"])
+        for r in semantic_dedup(
+            make_df(spark, ids, vec_rows), eps=eps, n_clusters=1, keep="min_id"
+        ).collect()
+    }
+    assert got == py_min_id_assignments(ids, vec_rows, eps)
