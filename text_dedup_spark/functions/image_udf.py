@@ -20,11 +20,19 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
-from ..sources.png import decode_image, encode_png, phash64, psnr, try_decode_image
+from ..sources.png import (
+    decode_image,
+    encode_png,
+    phash64,
+    psnr,
+    sniff_format,
+    try_decode_image,
+)
 
 IMAGE_META = StructType(
     [
@@ -49,6 +57,16 @@ def image_meta(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
         ws.append(arr.shape[1])
         lumas.append(float(arr.astype(np.float64).mean()))
     return pd.DataFrame({"dec_w": ws, "dec_h": hs, "mean_luma": lumas})
+
+
+@pandas_udf(StringType())
+def sniffed_format(data: pd.Series) -> pd.Series:
+    """Magic-byte format of each binary payload ('png'/'jpeg'/'gif'/'bmp'/
+    'tiff'/'webp'/'wav'/'avi', null if unrecognized). Web corpora mislabel
+    payloads constantly; use ``coalesce(sniffed_format(bytes), fmt)`` — or
+    compare the two to audit label lies — before the decode pass, so a
+    JPEG served from a .png URL decodes instead of flag-skipping."""
+    return pd.Series([sniff_format(bytes(b)) if b is not None else None for b in data])
 
 
 @pandas_udf(LongType())

@@ -369,11 +369,50 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
             from .bmp import decode_bmp
 
             return decode_bmp(data)
+        if fmt == "tiff":
+            from .tiff import decode_tiff
+
+            return decode_tiff(data)
+        if fmt == "webp":
+            # recognized (sniffable) but undecodable here: VP8 entropy
+            # decode needs a real codec; flag-skipped like lossless JPEG
+            raise NotImplementedError("WebP decode not supported")
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:
         raise ValueError(f"corrupt {fmt} stream: {type(e).__name__}: {e}") from e
     raise ValueError(f"unknown image format {fmt!r}")
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Magic-byte format detection for the multimodal binary column.
+
+    Web corpora routinely mislabel payloads (a .png URL serving JPEG bytes,
+    content-type lies); operators can sniff instead of trusting the fmt
+    column. Returns the canonical fmt string ``decode_image`` routes on
+    ('png', 'jpeg', 'gif', 'bmp', 'tiff', 'webp') or the media containers
+    ('wav', 'avi'), else None for unrecognized bytes."""
+    if len(data) < 12:
+        return None
+    if data[:8] == _SIG:
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if data[:4] == b"RIFF":
+        kind = data[8:12]
+        if kind == b"WEBP":
+            return "webp"
+        if kind == b"WAVE":
+            return "wav"
+        if kind == b"AVI ":
+            return "avi"
+    return None
 
 
 def try_decode_image(data: bytes, fmt: str):
