@@ -853,16 +853,17 @@ def q_image_meta(spark, sf_dir):
 
 def q_image_container_parity(spark, sf_dir):
     """Round-3 container coverage: every real still-image codec the engine
-    carries (png, baseline jpeg, gif, bmp — all pure-Python, sources/) must
-    agree on the pixels it hands the dedup surface. The fixture ships the
-    SAME pre-quantized image in all four containers (synth.
-    image_containers_table); the query recomputes the 64-bit perceptual
-    hash from bytes per row and reports, per format, the worst Hamming
-    distance to the PNG row of the same image_id. Lossless containers
-    (png/gif/bmp) must be bit-identical (0); near-lossless baseline JPEG is
-    allowed 1 drifted bit on razor-edge block means. A decode failure in
-    ANY container fails the whole query (the UDF raises), so a green cell
-    proves all four codecs executed in-harness."""
+    carries (png, baseline jpeg, gif, bmp, tiff — all pure-Python,
+    sources/) must agree on the pixels it hands the dedup surface. The
+    fixture ships the SAME pre-quantized image in all five containers
+    (synth.image_containers_table; the tiff row uses LZW + horizontal
+    predictor); the query recomputes the 64-bit perceptual hash from bytes
+    per row and reports, per format, the worst Hamming distance to the PNG
+    row of the same image_id. Lossless containers (png/gif/bmp/tiff) must
+    be bit-identical (0); near-lossless baseline JPEG is allowed 1 drifted
+    bit on razor-edge block means. A decode failure in ANY container fails
+    the whole query (the UDF raises), so a green cell proves all five
+    codecs executed in-harness."""
     from text_dedup_spark.functions.image_udf import phash_from_bytes
     from text_dedup_spark.sources.synth import image_containers_table
 
@@ -1034,17 +1035,18 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(fmt, n_images, avg_luma)
         """,
         # image_container_parity: constructed row set like image_meta — the
-        # same 8 deterministic images shipped as png/jpeg/gif/bmp must agree
-        # on the recomputed perceptual hash: lossless containers bit-exact
-        # (max Hamming 0 vs the png row), near-lossless baseline JPEG at
-        # most 1 drifted bit (measured 1 at seed 7: one razor-edge block
-        # mean). Any codec failure raises in the Spark UDF -> red cell.
+        # same 8 deterministic images shipped as png/jpeg/gif/bmp/tiff must
+        # agree on the recomputed perceptual hash: lossless containers
+        # bit-exact (max Hamming 0 vs the png row), near-lossless baseline
+        # JPEG at most 1 drifted bit (measured 1 at seed 7: one razor-edge
+        # block mean). Any codec failure raises in the Spark UDF -> red cell.
         "image_container_parity": """
             SELECT * FROM (VALUES
               ('bmp',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('gif',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('jpeg', CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
-              ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT))
+              ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+              ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(fmt, n_images, max_hamming_vs_png)
         """,
         "exact_dedup_survivors": f"""

@@ -371,9 +371,10 @@ CONTAINERS_SCHEMA = StructType(
 def image_containers_table(
     spark: SparkSession, n_images: int = 8, seed: int = 7
 ) -> DataFrame:
-    """One deterministic image per id, shipped in all FOUR real container
+    """One deterministic image per id, shipped in all FIVE real container
     formats the engine decodes natively — png, jpeg (baseline, near-lossless
-    quant_scale=1), gif and bmp — with IDENTICAL pixels per image_id.
+    quant_scale=1), gif, bmp and tiff (LZW + horizontal predictor) — with
+    IDENTICAL pixels per image_id.
 
     Pixels are pre-quantized to 4 levels per channel (<=64 unique colors)
     so the GIF palette is exact: png/gif/bmp rows are bit-losslessly
@@ -387,6 +388,7 @@ def image_containers_table(
         from .bmp import encode_bmp
         from .gif import encode_gif
         from .jpeg import encode_jpeg_baseline
+        from .tiff import encode_tiff
 
         for pdf in batches:
             rows = []
@@ -399,6 +401,7 @@ def image_containers_table(
                     ("jpeg", encode_jpeg_baseline(px, 1)),
                     ("gif", encode_gif(px)),
                     ("bmp", encode_bmp(px)),
+                    ("tiff", encode_tiff(px, compression=5, predictor=2)),
                 ):
                     rows.append({"image_id": image_id, "fmt": fmt, "bytes": blob})
             yield pd.DataFrame(rows, columns=[f.name for f in CONTAINERS_SCHEMA.fields])
