@@ -886,6 +886,34 @@ def q_image_container_parity(spark, sf_dir):
     )
 
 
+def q_format_sniff_audit(spark, sf_dir):
+    """Round-3 label-repair audit: web corpora lie about payload formats
+    (a .png URL serving JPEG bytes), so `sniffed_format` re-derives the
+    container from magic bytes. The fixture takes the 5-container parity
+    table (8 images x png/jpeg/gif/bmp/tiff, correctly labeled) and
+    deliberately relabels every gif row as 'png'; the query groups by the
+    SNIFFED format and reports row counts plus how many labels disagreed.
+    Expected: 8 rows per true container, exactly the 8 planted lies
+    caught (sniffed gif, labeled png), zero false mismatches elsewhere,
+    zero unrecognized payloads."""
+    from text_dedup_spark.functions.image_udf import sniffed_format
+    from text_dedup_spark.sources.synth import image_containers_table
+
+    t = image_containers_table(spark, 8, seed=7).withColumn(
+        "fmt", F.when(F.col("fmt") == "gif", F.lit("png")).otherwise(F.col("fmt"))
+    )
+    return (
+        t.withColumn("true_fmt", sniffed_format("bytes"))
+        .groupBy("true_fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum((F.col("fmt") != F.col("true_fmt")).cast("long")).alias(
+                "n_label_lies"
+            ),
+        )
+    )
+
+
 # --- contract ----------------------------------------------------------------
 
 
@@ -939,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "image_meta": q_image_meta,
         "image_container_parity": q_image_container_parity,
+        "format_sniff_audit": q_format_sniff_audit,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
         "image_fidelity": q_image_fidelity,
@@ -1048,6 +1077,18 @@ def oracle_sql() -> dict[str, str]:
               ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(fmt, n_images, max_hamming_vs_png)
+        """,
+        # format_sniff_audit: constructed row set — 8 images per container;
+        # the 8 gif rows are deliberately mislabeled 'png' and must be the
+        # only label lies the magic-byte sniffer reports.
+        "format_sniff_audit": """
+            SELECT * FROM (VALUES
+              ('bmp',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+              ('gif',  CAST(8 AS BIGINT), CAST(8 AS BIGINT)),
+              ('jpeg', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+              ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+              ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
+            ) AS t(true_fmt, n_images, n_label_lies)
         """,
         "exact_dedup_survivors": f"""
             SELECT doc_id FROM (

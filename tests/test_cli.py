@@ -99,6 +99,45 @@ def test_cli_staged_image(spark, tmp_path):
     assert kept + removed == 100 and removed > 0
 
 
+def test_cli_image_features_fmt_sniff(spark, tmp_path):
+    """--fmt_source sniff repairs lying fmt labels before the decode pass:
+    a corpus whose fmt column says 'png' for JPEG/TIFF bytes flag-skips
+    those rows when trusted, but decodes all of them after sniffing."""
+    import numpy as np
+
+    from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+    from text_dedup_spark.sources.png import encode_png
+    from text_dedup_spark.sources.tiff import encode_tiff
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(12):
+        px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        blob = [encode_png(px), encode_jpeg_baseline(px), encode_tiff(px)][i % 3]
+        rows.append((f"im{i}", bytearray(blob), "png", f"caption {i}"))
+    inp = str(tmp_path / "lying")
+    spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, caption string"
+    ).write.mode("overwrite").parquet(inp)
+
+    flagged = str(tmp_path / "ck_flag")
+    _run(["image-features", "--input", inp, "--checkpoint_dir", flagged,
+          "--dataset", "d", "--phash_source", "pixels", "--undecodable", "flag"])
+    n_bad = (
+        spark.read.parquet(f"{flagged}/d__feats")
+        .where("phash IS NULL").count()
+    )
+    assert n_bad == 8  # the jpeg and tiff rows flag-skip under the lie
+
+    sniffed = str(tmp_path / "ck_sniff")
+    _run(["image-features", "--input", inp, "--checkpoint_dir", sniffed,
+          "--dataset", "d", "--phash_source", "pixels", "--undecodable", "flag",
+          "--fmt_source", "sniff"])
+    feats = spark.read.parquet(f"{sniffed}/d__feats")
+    assert feats.where("phash IS NULL").count() == 0
+    assert feats.count() == 12
+
+
 def test_cli_text_paragraph_ingest(spark, tmp_path):
     from text_dedup_spark.sources.text import read_paragraphs
 

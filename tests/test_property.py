@@ -296,6 +296,50 @@ def test_gif_roundtrip_property(h, w, n_frames, n_colors, interlace, seed):
         assert np.array_equal(decode_bmp(encode_bmp(f)), f)
 
 
+# --- decoder robustness fuzz (closed exception set on a 100-TB corpus) ------
+
+
+@given(
+    fmt_i=st.integers(0, 4),
+    mode=st.sampled_from(["truncate", "bitflip", "garbage"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_try_decode_never_raises_on_mangled_bytes(fmt_i, mode, seed):
+    """try_decode_image must return an array or None for ANY bytes — a
+    corrupt row on a web corpus becomes decode_ok=false, never a stray
+    exception that kills the task. Fuzz every container with truncation,
+    bit flips, and pure garbage."""
+    import numpy as np
+
+    from text_dedup_spark.sources.bmp import encode_bmp
+    from text_dedup_spark.sources.gif import encode_gif
+    from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
+    from text_dedup_spark.sources.png import encode_png, try_decode_image
+    from text_dedup_spark.sources.tiff import encode_tiff
+
+    rng = np.random.RandomState(seed)
+    fmt, enc = [
+        ("png", encode_png),
+        ("jpeg", encode_jpeg_baseline),
+        ("gif", lambda a: encode_gif([a])),
+        ("bmp", encode_bmp),
+        ("tiff", lambda a: encode_tiff(a, compression=5, predictor=2)),
+    ][fmt_i]
+    px = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    data = bytearray(enc(px))
+    if mode == "truncate":
+        data = data[: rng.randint(0, len(data))]
+    elif mode == "bitflip":
+        for _ in range(rng.randint(1, 6)):
+            i = rng.randint(0, len(data))
+            data[i] ^= 1 << rng.randint(0, 8)
+    else:
+        data = bytearray(rng.randint(0, 256, rng.randint(0, 200)).astype(np.uint8))
+    out = try_decode_image(bytes(data), fmt)
+    assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
 # --- semantic dedup vs brute-force oracle (randomized corpora) --------------
 
 small_vecs = st.lists(

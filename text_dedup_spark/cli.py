@@ -164,6 +164,10 @@ def cmd_image_dedup(args) -> None:
 
     spark, _own = _session("text-dedup-image-dedup")
     df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    if getattr(args, "fmt_source", "column") == "sniff":
+        from .functions.image_udf import with_sniffed_fmt
+
+        df = with_sniffed_fmt(df)
     res = image_dedup(
         df,
         minhash_cfg=_minhash_cfg(args),
@@ -184,8 +188,13 @@ def cmd_image_features(args) -> None:
 
     spark, _own = _session("text-dedup-image-features")
     catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    df = _read(spark, args.input, getattr(args, "format", "parquet"))
+    if getattr(args, "fmt_source", "column") == "sniff":
+        from .functions.image_udf import with_sniffed_fmt
+
+        df = with_sniffed_fmt(df)
     stage_features(
-        catalog, _read(spark, args.input, getattr(args, "format", "parquet")),
+        catalog, df,
         _minhash_cfg(args),
         dataset=args.dataset, phash_source=args.phash_source,
         short_doc_policy=args.short_doc_policy,
@@ -447,6 +456,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--phash_source", default="column", choices=["column", "pixels"])
     p.add_argument("--undecodable", default="error", choices=["error", "flag"])
     p.add_argument("--pixel_embedding_eps", type=float, default=None)
+    p.add_argument("--fmt_source", default="column", choices=["column", "sniff"],
+                   help="sniff: repair the fmt column from magic bytes "
+                        "(coalesce(sniffed, fmt)) before decoding")
     p.set_defaults(fn=cmd_image_dedup)
 
     p = sub.add_parser("image-features",
@@ -459,6 +471,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="flag: undecodable payloads (arithmetic JPEG, corrupt "
                         "bytes) get decode_ok=false and skip the phash modality "
                         "instead of failing the task")
+    p.add_argument("--fmt_source", default="column", choices=["column", "sniff"],
+                   help="sniff: repair the fmt column from magic bytes "
+                        "(coalesce(sniffed, fmt)) before decoding")
     p.set_defaults(fn=cmd_image_features)
 
     p = sub.add_parser("image-cluster", help="image stage B: 3-modality global CC")

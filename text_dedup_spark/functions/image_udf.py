@@ -69,6 +69,17 @@ def sniffed_format(data: pd.Series) -> pd.Series:
     return pd.Series([sniff_format(bytes(b)) if b is not None else None for b in data])
 
 
+def with_sniffed_fmt(df, fmt_col: str = "fmt", bytes_col: str = "bytes"):
+    """Repair the fmt column from magic bytes before a decode pass:
+    ``fmt = coalesce(sniffed_format(bytes), fmt)``. Unrecognized payloads
+    keep their label (they'll flag-skip at decode). One Arrow-batched
+    projection, no shuffle — prepend to any image pipeline whose labels
+    came from URLs/content-types (`--fmt_source sniff` on the CLI)."""
+    return df.withColumn(
+        fmt_col, F.coalesce(sniffed_format(bytes_col), F.col(fmt_col))
+    )
+
+
 @pandas_udf(LongType())
 def phash_from_bytes(data: pd.Series, fmt: pd.Series) -> pd.Series:
     """Recompute the 64-bit perceptual hash from pixels (validates/derives
