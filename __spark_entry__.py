@@ -555,6 +555,21 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, 10, n_centroids=32, n_probe=8)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k with exact refine: the 10^12-vector memory layout
+    (coarse cells + m-byte PQ codes + ADC shortlist + exact re-rank of the
+    top `refine` per query). Recall/score parity vs brute force is pinned
+    in tests/test_pq.py; rows-only here like the other non-SQL ANN
+    kernels."""
+    from text_dedup_spark.operators.ann import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, queries, 10, n_centroids=32, n_probe=8, m=8, refine=30
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     """Sessionization: per-user sessions split at >30-min gaps; top-20
     longest sessions by event count (ties broken by user/session start)."""
@@ -956,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_counts": q_langid_counts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "shingle_stats": q_shingle_stats,
         "jaccard_exact_pairs": q_jaccard_exact_pairs,
         "audit_clone_pairs": q_audit_clone_pairs,

@@ -1,15 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers (both DataFrame-native):
+Tiers (all DataFrame-native):
 - ``brute_force_topk``: exact cosine top-k — broadcast the (small) query set
   against the full corpus; dot products via zip_with/aggregate in DOUBLE with
   left-to-right accumulation (deterministic, oracle-mirrorable). The
-  baseline and the verifier for the approximate path.
+  baseline and the verifier for the approximate paths.
 - ``lsh_topk``: random-hyperplane (sign) LSH — an Arrow-batched numpy matmul
   computes an nbits signature per vector, candidates = bucket collisions in
   any of ``n_tables`` tables, exact cosine re-rank of candidates only. The
-  scale path: candidate generation is a hash-partitioned equi-join on
+  scan-pruning path: candidate generation is a hash-partitioned equi-join on
   (table, bucket), never a cross join.
+- ``ivf_topk``: coarse k-means cells, probe-n_probe scan pruning.
+- ``pq_topk`` / ``ivfpq_topk``: product quantization — the MEMORY path for
+  10^12 vectors (m bytes/vector instead of 4*dim; ADC lookup-table scoring
+  in the compressed domain; IVF-PQ composes cells + codes + optional exact
+  refine, the canonical billion-to-trillion-scale layout).
 
 ``embedding_near_pairs``: all pairs above a cosine threshold (the
 embedding-space near-duplicate operator) — same join skeleton as the LSH
@@ -351,6 +356,250 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample_cap: int = 65536,
+    kmeans_iterations: int = 10,
+) -> np.ndarray:
+    """Product-quantizer codebooks, shape (m, 2**nbits, dim/m).
+
+    The memory path for 10^12-vector search: PQ stores m bytes per vector
+    (m=8, dim=64 float32 -> 32x compression), and ADC scans the compressed
+    codes without touching raw vectors. Training follows the standard
+    practice (Jegou et al., faiss): an independent L2 k-means per subspace
+    over a BOUNDED deterministic sample — hash-ordered ``sample_cap`` rows,
+    so the driver holds at most sample_cap x dim x 8 B (32 MB at the
+    defaults) regardless of corpus size; everything after training is
+    distributed. Vectors are L2-normalized before splitting, so ADC inner
+    products approximate cosine (the metric every other ANN tier here
+    uses). dim must be divisible by m."""
+    k = 1 << nbits
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: first k sample rows (cycled if the sample is
+        # smaller than k — duplicate centroids resolve via argmin ties)
+        cents = sub[np.arange(k) % len(sub)].copy()
+        for _ in range(kmeans_iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in np.unique(assign):
+                cents[c] = sub[assign == c].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """array<float> -> binary of m uint8 codes (nearest codeword per
+    subspace of the L2-normalized vector); one numpy pass per Arrow batch."""
+    m, k, dsub = codebooks.shape
+
+    @pandas_udf("binary")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        out = np.empty((mat.shape[0], m), dtype=np.uint8)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            # argmin ||x - c||^2 = argmax (x.c - ||c||^2/2), batched
+            scores = sub @ codebooks[s].T - 0.5 * (codebooks[s] ** 2).sum(axis=1)
+            out[:, s] = scores.argmax(axis=1).astype(np.uint8)
+        return pd.Series([r.tobytes() for r in out])
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code binary) — the compressed corpus table. At 10^12 rows
+    this is what persists and shuffles (m bytes/row); raw vectors are read
+    exactly once to encode."""
+    enc = make_pq_encode_udf(codebooks)
+    return df.select(
+        F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("pq_code")
+    )
+
+
+def make_adc_score_udf(codebooks: np.ndarray):
+    """(query array<float>, pq_code binary) -> double approximate cosine.
+
+    Real ADC: per Arrow batch, build one (m x 2**nbits) inner-product
+    lookup table per DISTINCT query in the batch, then score every code row
+    with m table lookups — dsub-times fewer flops than decoding, which is
+    the whole point of scanning in the compressed domain."""
+    m, k, dsub = codebooks.shape
+
+    @pandas_udf("double")
+    def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        q = np.array(qv.tolist(), dtype=np.float64)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
+        c = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(-1, m)
+        # group rows by identical query (queries repeat per batch under the
+        # broadcast join); one LUT per distinct query, not per row
+        _, first_idx, inv = np.unique(
+            q, axis=0, return_index=True, return_inverse=True
+        )
+        luts = np.einsum(
+            "qmd,mkd->qmk", q[first_idx].reshape(len(first_idx), m, dsub), codebooks
+        )  # (nq, m, k)
+        rows = np.arange(len(c))
+        scores = luts[inv][rows[:, None], np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(_round_half_up(scores))
+
+    return adc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, score) — flat ADC scan over PQ codes.
+
+    The compressed-domain twin of ``brute_force_topk``: same broadcast-query
+    join skeleton, but the corpus side is the m-bytes/row code table and
+    scoring is m LUT lookups per pair. ``score`` is the ADC approximation
+    of cosine (quantization error bounded by the codebook distortion); use
+    ``ivfpq_topk(refine=...)`` when exact final scores are needed."""
+    if codebooks is None:
+        codebooks = train_pq(corpus, id_col, vec_col, m, nbits)
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    adc = make_adc_score_udf(codebooks)
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc(F.col("__qv__"), F.col("pq_code")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    nbits: int = 8,
+    refine: int = 0,
+    kmeans_iterations: int = 2,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ: the canonical 10^12-vector design (coarse cells prune the
+    scan, PQ codes bound memory, optional exact re-rank restores scores).
+
+    - corpus pass 1: assign coarse cell (shared ``train_centroids``) and
+      PQ-encode — the persisted index row is (id, cell, m-byte code);
+    - query side probes ``n_probe`` cells; candidates come from the
+      hash-partitioned equi-join on cell (same skeleton as ``ivf_topk``),
+      scored with ADC lookups — raw vectors never join the candidate path;
+    - ``refine`` > 0: the top ``refine`` ADC candidates per query (>= k)
+      re-join the raw vectors ONCE for exact cosine, which both fixes the
+      ranking and restores exact scores. refine bounds that join to
+      nq x refine rows, independent of corpus size."""
+    if codebooks is None:
+        codebooks = train_pq(corpus, id_col, vec_col, m, nbits)
+    cents = train_centroids(corpus, id_col, vec_col, n_centroids, kmeans_iterations)
+    assign_cell = make_cell_assign_udf(cents)
+    enc = make_pq_encode_udf(codebooks)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        idx = np.argsort(-(mat @ cents.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(idx.tolist())
+
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_cell(F.col(vec_col)).alias("cell"),
+        enc(F.col(vec_col)).alias("pq_code"),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv__"),
+        F.explode_outer(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    adc = make_adc_score_udf(codebooks)
+    cand = (
+        index.join(probed, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc(F.col("__qv__"), F.col("pq_code")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    if not refine:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "score")
+        )
+    short = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max(refine, k))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
+    score = make_cosine_pairs_udf()
+    exact = (
+        short.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            score(F.col("__qv__"), F.col("__cv__")).alias("score"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
