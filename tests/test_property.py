@@ -300,7 +300,7 @@ def test_gif_roundtrip_property(h, w, n_frames, n_colors, interlace, seed):
 
 
 @given(
-    fmt_i=st.integers(0, 4),
+    fmt_i=st.integers(0, 5),
     mode=st.sampled_from(["truncate", "bitflip", "garbage"]),
     seed=st.integers(0, 2**31 - 1),
 )
@@ -317,6 +317,7 @@ def test_try_decode_never_raises_on_mangled_bytes(fmt_i, mode, seed):
     from text_dedup_spark.sources.jpeg import encode_jpeg_baseline
     from text_dedup_spark.sources.png import encode_png, try_decode_image
     from text_dedup_spark.sources.tiff import encode_tiff
+    from text_dedup_spark.sources.vp8l import encode_vp8l
 
     rng = np.random.RandomState(seed)
     fmt, enc = [
@@ -325,6 +326,7 @@ def test_try_decode_never_raises_on_mangled_bytes(fmt_i, mode, seed):
         ("gif", lambda a: encode_gif([a])),
         ("bmp", encode_bmp),
         ("tiff", lambda a: encode_tiff(a, compression=5, predictor=2)),
+        ("webp", lambda a: encode_vp8l(a, cache_bits=4, lz77_runs=True)),
     ][fmt_i]
     px = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
     data = bytearray(enc(px))

@@ -374,9 +374,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
             return decode_tiff(data)
         if fmt == "webp":
-            # recognized (sniffable) but undecodable here: VP8 entropy
-            # decode needs a real codec; flag-skipped like lossless JPEG
-            raise NotImplementedError("WebP decode not supported")
+            # lossless (VP8L) decodes for real; lossy VP8 raises
+            # NotImplementedError inside into the flag policy
+            from .vp8l import decode_webp
+
+            return decode_webp(data)
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:
