@@ -868,16 +868,17 @@ def q_image_meta(spark, sf_dir):
 
 def q_image_container_parity(spark, sf_dir):
     """Round-3 container coverage: every real still-image codec the engine
-    carries (png, baseline jpeg, gif, bmp, tiff — all pure-Python,
+    carries (png, baseline jpeg, gif, bmp, tiff, webp — all pure-Python,
     sources/) must agree on the pixels it hands the dedup surface. The
-    fixture ships the SAME pre-quantized image in all five containers
-    (synth.image_containers_table; the tiff row uses LZW + horizontal
-    predictor); the query recomputes the 64-bit perceptual hash from bytes
-    per row and reports, per format, the worst Hamming distance to the PNG
-    row of the same image_id. Lossless containers (png/gif/bmp/tiff) must
-    be bit-identical (0); near-lossless baseline JPEG is allowed 1 drifted
+    fixture ships the SAME pre-quantized image in all six containers
+    (synth.image_containers_table; tiff = LZW + horizontal predictor,
+    webp = VP8L lossless with subtract-green + color cache + runs); the
+    query recomputes the 64-bit perceptual hash from bytes per row and
+    reports, per format, the worst Hamming distance to the PNG row of the
+    same image_id. Lossless containers (png/gif/bmp/tiff/webp) must be
+    bit-identical (0); near-lossless baseline JPEG is allowed 1 drifted
     bit on razor-edge block means. A decode failure in ANY container fails
-    the whole query (the UDF raises), so a green cell proves all five
+    the whole query (the UDF raises), so a green cell proves all six
     codecs executed in-harness."""
     from text_dedup_spark.functions.image_udf import phash_from_bytes
     from text_dedup_spark.sources.synth import image_containers_table
@@ -1091,7 +1092,8 @@ def oracle_sql() -> dict[str, str]:
               ('gif',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('jpeg', CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
               ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
-              ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
+              ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+              ('webp', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(fmt, n_images, max_hamming_vs_png)
         """,
         # format_sniff_audit: constructed row set — 8 images per container;
@@ -1103,7 +1105,8 @@ def oracle_sql() -> dict[str, str]:
               ('gif',  CAST(8 AS BIGINT), CAST(8 AS BIGINT)),
               ('jpeg', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
-              ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
+              ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+              ('webp', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(true_fmt, n_images, n_label_lies)
         """,
         "exact_dedup_survivors": f"""

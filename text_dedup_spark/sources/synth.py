@@ -371,10 +371,11 @@ CONTAINERS_SCHEMA = StructType(
 def image_containers_table(
     spark: SparkSession, n_images: int = 8, seed: int = 7
 ) -> DataFrame:
-    """One deterministic image per id, shipped in all FIVE real container
+    """One deterministic image per id, shipped in all SIX real container
     formats the engine decodes natively — png, jpeg (baseline, near-lossless
-    quant_scale=1), gif, bmp and tiff (LZW + horizontal predictor) — with
-    IDENTICAL pixels per image_id.
+    quant_scale=1), gif, bmp, tiff (LZW + horizontal predictor) and webp
+    (VP8L lossless: subtract-green + color cache + runs) — with IDENTICAL
+    pixels per image_id.
 
     Pixels are pre-quantized to 4 levels per channel (<=64 unique colors)
     so the GIF palette is exact: png/gif/bmp rows are bit-losslessly
@@ -389,6 +390,7 @@ def image_containers_table(
         from .gif import encode_gif
         from .jpeg import encode_jpeg_baseline
         from .tiff import encode_tiff
+        from .vp8l import encode_vp8l
 
         for pdf in batches:
             rows = []
@@ -402,6 +404,8 @@ def image_containers_table(
                     ("gif", encode_gif(px)),
                     ("bmp", encode_bmp(px)),
                     ("tiff", encode_tiff(px, compression=5, predictor=2)),
+                    ("webp", encode_vp8l(px, subtract_green=True,
+                                         cache_bits=6, lz77_runs=True)),
                 ):
                     rows.append({"image_id": image_id, "fmt": fmt, "bytes": blob})
             yield pd.DataFrame(rows, columns=[f.name for f in CONTAINERS_SCHEMA.fields])
