@@ -374,11 +374,17 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
             return decode_tiff(data)
         if fmt == "webp":
-            # lossless (VP8L) decodes for real; lossy VP8 raises
-            # NotImplementedError inside into the flag policy
+            # lossless (VP8L) decodes via the pure-Python codec; lossy VP8
+            # falls back to the system libwebp when present, else the
+            # NotImplementedError feeds the flag policy
             from .vp8l import decode_webp
 
-            return decode_webp(data)
+            try:
+                return decode_webp(data)
+            except NotImplementedError:
+                from .webp_native import decode_webp_native
+
+                return np.ascontiguousarray(decode_webp_native(data)[..., :3])
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:
