@@ -180,6 +180,11 @@ def decode_video_frames(data: bytes) -> np.ndarray:
             from ..sources.gif import decode_gif
 
             return np.stack([_to_gray(f) for f in decode_gif(data)])
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":  # animated WebP
+            from ..sources.avi import _to_gray
+            from ..sources.vp8l import decode_webp_frames
+
+            return np.stack([_to_gray(f) for f in decode_webp_frames(data)])
         if data[:4] == _FAKE_VIDEO_MAGIC:
             n, h, w = struct.unpack("<III", data[4:16])
             return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)

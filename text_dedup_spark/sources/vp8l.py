@@ -27,8 +27,13 @@ dist=1 LZ77 run coding. Round-trips are bit-exact by construction
 libwebp-produced VP8L stream (the alpha plane of CPython's
 test python.webp).
 
-Lossy VP8 stays NotImplementedError (flag-skip policy): its entropy
-decode needs a full bool-coder/DCT codec with no in-container oracle.
+Animated WebP (ANIM/ANMF) decodes to composited frames for the video
+fingerprint path (VP8L frames pure-Python with alpha; lossy frames via
+the env-gated system-libwebp binding in sources/webp_native.py — which
+also serves as the reference-decoder oracle for this codec's tests).
+Pure-Python lossy VP8 remains out of scope: its entropy decode needs a
+bool-coder/DCT codec whose large constant tables cannot be verified
+here; those rows flag-skip when no libwebp is present.
 """
 
 from __future__ import annotations
@@ -533,6 +538,23 @@ def decode_webp(data: bytes) -> np.ndarray:
 
 def decode_vp8l(payload: bytes) -> np.ndarray:
     """A VP8L chunk payload (with the 5-byte header) -> HxWx3 uint8."""
+    return _argb_to_rgb(_decode_vp8l_chunk(payload))
+
+
+def decode_vp8l_rgba(payload: bytes) -> np.ndarray:
+    """A VP8L chunk payload -> HxWx4 uint8 RGBA (alpha preserved — the
+    animation compositor needs it)."""
+    img = _decode_vp8l_chunk(payload)
+    h, w = img.shape
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[..., 0] = (img >> 16) & 0xFF
+    out[..., 1] = (img >> 8) & 0xFF
+    out[..., 2] = img & 0xFF
+    out[..., 3] = (img >> 24) & 0xFF
+    return out
+
+
+def _decode_vp8l_chunk(payload: bytes) -> np.ndarray:
     if not payload or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])
@@ -541,7 +563,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)  # alpha-is-used hint
     if br.read(3) != 0:
         raise ValueError("bad VP8L version")
-    return _argb_to_rgb(_decode_vp8l_body(br, w, h))
+    return _decode_vp8l_body(br, w, h)
 
 
 def _decode_vp8l_body(br: _BitReader, w: int, h: int) -> np.ndarray:
@@ -922,3 +944,155 @@ def _emit_code(bw: _BitWriter, lengths: list[int]) -> dict:
         code, n = cl_codes[ln]
         _write_code(bw, code, n)
     return _canonical_codes(lengths)
+
+
+# ------------------------------------------------------------- animation
+
+
+def _walk_chunks(data: bytes, start: int = 12):
+    pos = start
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        payload = data[pos + 8 : pos + 8 + ln]
+        if len(payload) < ln:
+            raise ValueError("truncated WebP chunk")
+        yield tag, payload
+        pos += 8 + ln + (ln & 1)
+
+
+def decode_webp_frames(data: bytes) -> list[np.ndarray]:
+    """Animated (or still) WebP -> list of composited HxWx3 uint8 frames.
+
+    ANMF sub-frames are placed at their (2x-coded) offsets on an opaque
+    black canvas, honoring the spec's blending method (0 = alpha blend,
+    1 = overwrite) and dispose-to-background; VP8L frames decode through
+    the pure-Python codec (alpha preserved), lossy VP8 frames through the
+    env-gated libwebp fallback (each wrapped back into a one-image
+    container). A non-animated file returns its single frame."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    canvas_w = canvas_h = None
+    animated = False
+    frames: list[np.ndarray] = []
+    canvas = None
+    for tag, payload in _walk_chunks(data):
+        if tag == b"VP8X":
+            animated = bool(payload[0] & 0x02)
+            canvas_w = 1 + int.from_bytes(payload[4:7], "little")
+            canvas_h = 1 + int.from_bytes(payload[7:10], "little")
+            canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
+            canvas[..., 3] = 255  # opaque black background
+        elif tag == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X")
+            fx = 2 * int.from_bytes(payload[0:3], "little")
+            fy = 2 * int.from_bytes(payload[3:6], "little")
+            fw = 1 + int.from_bytes(payload[6:9], "little")
+            fh = 1 + int.from_bytes(payload[9:12], "little")
+            flags = payload[15]
+            no_blend = bool((flags >> 1) & 1)
+            dispose = bool(flags & 1)
+            rgba = _decode_frame_payload(payload[16:], fw, fh)
+            if fy + fh > canvas_h or fx + fw > canvas_w:
+                raise ValueError("ANMF frame outside canvas")
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                region[:] = rgba
+            else:  # alpha blend over the canvas
+                a = rgba[..., 3:4].astype(np.float64) / 255.0
+                region[..., :3] = (
+                    rgba[..., :3] * a + region[..., :3] * (1.0 - a)
+                ).astype(np.uint8)
+                region[..., 3] = np.maximum(region[..., 3], rgba[..., 3])
+            frames.append(canvas[..., :3].copy())
+            if dispose:
+                region[..., :3] = 0
+                region[..., 3] = 255
+        # metadata chunks (ANIM/ICCP/EXIF/XMP) carry no pixels
+    if animated:
+        if not frames:
+            raise ValueError("animated WebP with no frames")
+        return frames
+    return [decode_webp(data)]
+
+
+def _decode_frame_payload(frame_data: bytes, fw: int, fh: int) -> np.ndarray:
+    """The sub-chunks inside one ANMF frame -> HxWx4 RGBA."""
+    alpha = None
+    for tag, payload in _walk_chunks(frame_data, start=0):
+        if tag == b"ALPH":
+            alpha = payload
+        elif tag == b"VP8L":
+            rgba = decode_vp8l_rgba(payload)
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame dims mismatch")
+            return rgba
+        elif tag == b"VP8 ":
+            from .webp_native import decode_webp_native
+
+            # wrap the lossy frame back into a standalone container for
+            # the reference decoder (alpha chunk included when present)
+            chunks = b""
+            if alpha is not None:
+                flags = 0x10
+                vp8x = bytes([flags, 0, 0, 0]) + (fw - 1).to_bytes(
+                    3, "little"
+                ) + (fh - 1).to_bytes(3, "little")
+                chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+                chunks += b"ALPH" + struct.pack("<I", len(alpha)) + alpha
+                if len(alpha) % 2:
+                    chunks += b"\x00"
+            chunks += b"VP8 " + struct.pack("<I", len(payload)) + payload
+            if len(payload) % 2:
+                chunks += b"\x00"
+            riff = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+            rgba = decode_webp_native(riff)
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame dims mismatch")
+            return rgba
+    raise ValueError("ANMF frame has no image sub-chunk")
+
+
+def encode_webp_anim(
+    frames: list[np.ndarray], duration_ms: int = 40, **vp8l_opts
+) -> bytes:
+    """Full-canvas RGB(A) frames -> animated WebP (each frame VP8L-coded
+    with ``vp8l_opts``, no-blend, no dispose). Fixture generator for the
+    video fingerprint path."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    chunks = b""
+    vp8x = bytes([0x02, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<IH", 0xFF000000, 0)  # bg color, loop forever
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must be canvas-sized")
+        whole = encode_vp8l(f, **vp8l_opts)
+        # lift the VP8L chunk out of the single-image container
+        vp8l_payload = None
+        for tag, payload in _walk_chunks(whole):
+            if tag == b"VP8L":
+                vp8l_payload = payload
+        assert vp8l_payload is not None
+        sub = b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
+        if len(vp8l_payload) % 2:
+            sub += b"\x00"
+        head = (
+            (0).to_bytes(3, "little")
+            + (0).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + duration_ms.to_bytes(3, "little")
+            + bytes([0x02])  # no-blend, no dispose
+        )
+        anmf = head + sub
+        chunks += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) % 2:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
