@@ -83,3 +83,46 @@ def test_exif_udfs(spark):
     assert out[4] == rows[3][1]  # non-JPEG passthrough
     assert np.array_equal(decode_jpeg_baseline(out[1]),
                           decode_jpeg_baseline(bytes(rows[0][1])))
+
+
+def test_strip_webp_metadata_lossless():
+    """WebP privacy scrub: EXIF/XMP/ICCP chunks (GPS/device carriers) drop,
+    VP8X flags clear, pixels stay bit-identical, and the scrub composes
+    with the container-dispatched strip_metadata UDF path."""
+    import struct
+
+    import numpy as np
+
+    from text_dedup_spark.sources.exif import strip_webp_metadata
+    from text_dedup_spark.sources.vp8l import decode_webp, encode_vp8l
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (9, 7, 3)).astype(np.uint8)
+    plain = encode_vp8l(img)
+    vp8l_chunk = plain[12:]
+
+    def chunk(tag, payload):
+        c = tag + struct.pack("<I", len(payload)) + payload
+        return c + (b"\x00" if len(payload) % 2 else b"")
+
+    vp8x = bytes([0x20 | 0x08 | 0x04, 0, 0, 0]) + (6).to_bytes(3, "little") + (
+        8
+    ).to_bytes(3, "little")
+    body = (
+        chunk(b"VP8X", vp8x)
+        + chunk(b"ICCP", b"fake-icc-profile")
+        + vp8l_chunk
+        + chunk(b"EXIF", b"II*\x00gps-coordinates-here")
+        + chunk(b"XMP ", b"<x:xmpmeta>author</x:xmpmeta>")
+    )
+    dirty = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    clean = strip_webp_metadata(dirty)
+    assert b"EXIF" not in clean and b"XMP " not in clean and b"ICCP" not in clean
+    assert b"gps-coordinates-here" not in clean and b"author" not in clean
+    assert clean[12 + 8] & (0x20 | 0x08 | 0x04) == 0  # VP8X flags cleared
+    assert np.array_equal(decode_webp(clean), img)  # pixels bit-identical
+    assert np.array_equal(decode_webp(dirty), img)
+
+    with pytest.raises(ValueError):
+        strip_webp_metadata(b"not webp")

@@ -17,7 +17,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.exif import parse_exif, strip_jpeg_metadata
+from ..sources.exif import parse_exif, strip_jpeg_metadata, strip_webp_metadata
 
 EXIF_INFO = StructType(
     [
@@ -53,11 +53,17 @@ def exif_info(data: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(BinaryType())
 def strip_metadata(data: pd.Series) -> pd.Series:
+    """Container-dispatched lossless metadata scrub: JPEG APPn/COM splice,
+    WebP EXIF/XMP/ICCP chunk drop (pixel chunks byte-identical); other
+    containers pass through untouched."""
     out = []
     for blob in data:
         b = bytes(blob)
         try:
-            out.append(strip_jpeg_metadata(b))
+            if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                out.append(strip_webp_metadata(b))
+            else:
+                out.append(strip_jpeg_metadata(b))
         except ValueError:
-            out.append(b)  # non-JPEG: nothing JPEG-shaped to strip
+            out.append(b)  # not a strippable container: passthrough
     return pd.Series(out)

@@ -214,3 +214,29 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     return jpeg[:2] + app1 + jpeg[2:]
+
+
+def strip_webp_metadata(data: bytes) -> bytes:
+    """Lossless WebP privacy scrub: drop EXIF/XMP/ICCP chunks (the carriers
+    of GPS/device/author metadata), clear their VP8X flag bits, keep every
+    pixel chunk byte-identical (VP8/VP8L/ALPH/ANIM/ANMF untouched — no
+    re-encode generation loss), and rewrite the RIFF size."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    out = bytearray()
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        chunk = data[pos : pos + 8 + ln + (ln & 1)]
+        if len(chunk) < 8 + ln:
+            raise ValueError("truncated WebP chunk")
+        pos += 8 + ln + (ln & 1)
+        if tag in (b"EXIF", b"XMP ", b"ICCP"):
+            continue
+        if tag == b"VP8X" and ln >= 10:
+            payload = bytearray(chunk[8:])
+            payload[0] &= ~(0x20 | 0x08 | 0x04)  # clear ICC/EXIF/XMP flags
+            chunk = bytes(chunk[:8]) + bytes(payload)
+        out += chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + bytes(out)
