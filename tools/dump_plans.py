@@ -156,6 +156,23 @@ def main() -> None:
         fmt(flagged),
     ))
 
+    from text_dedup_spark.operators.ann import ivfpq_topk
+
+    emb = entrymod._emb(spark, SF)
+    queries = emb.where(F.col("vec_id") < 5)
+    sections.append((
+        "IVF-PQ top-k (10^12-vector memory path)",
+        "Index side: ONE scan of the vectors through two ArrowEvalPython "
+        "nodes (cell assign + PQ encode) — the shuffled candidate row is "
+        "(id, cell, m-byte code), never the raw vector. Candidates: "
+        "hash-partitioned equi-join on cell (no cross join), ADC scoring "
+        "as one ArrowEvalPython over (query vec, code). Refine: the "
+        "rank<=refine window output (nq x refine rows, corpus-size-"
+        "independent) re-joins raw vectors exactly once for exact cosine.",
+        fmt(ivfpq_topk(emb, queries, 10, n_centroids=16, n_probe=4,
+                       refine=20)),
+    ))
+
     out = ["# PLANS — physical-plan evidence (`explain(\"formatted\")`)",
            "", "Generated by tools/dump_plans.py at sf0.01; regenerate after "
            "operator changes. Manually-curated sections below the marker "
