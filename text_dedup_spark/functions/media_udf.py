@@ -5,11 +5,12 @@ input_hint pattern): an opaque ``binary`` payload column + typed metadata
 columns, processed by Arrow-batched pandas UDFs over ``mapInPandas``. The
 image path (functions/image_udf.py) is fully real (pure-numpy PNG codec),
 and the most common ARCHIVAL formats of the other two modalities decode
-natively as well: RIFF/WAVE PCM audio (``decode_wav``, below), RIFF/AVI
-video with uncompressed-DIB or MJPEG frames (sources/avi.py), and animated
-GIF as a frame sequence (sources/gif.py). Only
-*compressed* audio (mp3/ogg/flac) and inter-frame video codecs (H.26x/VPx)
-remain environment-gated:
+natively as well: RIFF/WAVE PCM audio (``decode_wav``, below), FLAC
+compressed audio (sources/flac.py, pure Python with the stream's own MD5
+as an intrinsic oracle), RIFF/AVI video with uncompressed-DIB or MJPEG
+frames (sources/avi.py), and animated GIF as a frame sequence
+(sources/gif.py). Only *lossy* audio (mp3/ogg) and inter-frame video
+codecs (H.26x/VPx) remain environment-gated:
 
 - ``decode_audio`` / ``decode_video_frames`` raise ``NotImplementedError``
   for those unless a real backend (soundfile / av) is importable — the
@@ -137,9 +138,9 @@ def encode_wav(samples: np.ndarray, rate: int = 16000, n_channels: int = 1) -> b
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """bytes -> (int16 mono samples, sample_rate). Dispatch: real WAV (pure
-    Python, always available), the deterministic FPCM test container, then
-    the import-gated external backend for compressed formats.
+    """bytes -> (int16 mono samples, sample_rate). Dispatch: real WAV and
+    FLAC (both pure Python, always available), the deterministic FPCM test
+    container, then the import-gated external backend for lossy formats.
 
     Error contract (same as sources/png.decode_image): ValueError for
     corrupt/truncated streams — low-level parse crashes normalized here —
@@ -147,6 +148,10 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     try:
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return decode_wav(data)
+        if data[:4] == b"fLaC":  # compressed archival audio, pure Python
+            from ..sources.flac import decode_flac
+
+            return decode_flac(data)
         if data[:4] == _FAKE_AUDIO_MAGIC:
             rate, n = struct.unpack("<II", data[4:12])
             return np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n], rate
@@ -158,7 +163,7 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         import soundfile  # noqa: F401
     except ImportError:
         raise NotImplementedError(
-            "compressed-audio decoding needs the 'soundfile' backend; WAV "
+            "lossy-audio decoding needs the 'soundfile' backend; WAV, FLAC "
             "and the deterministic FPCM container decode natively"
         ) from None
     raise NotImplementedError("real-codec path not wired")  # pragma: no cover
