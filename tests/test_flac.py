@@ -330,3 +330,11 @@ def test_flac_through_audio_udfs(spark):
     pairs = {(r["clip_id"], r["component"]) for r in assigns.collect()}
     assert (1, 0) in pairs
     assert all(cid != 2 for cid, _ in pairs)
+
+
+def test_sniff_format_flac():
+    from text_dedup_spark.sources.png import sniff_format
+
+    b = encode_flac(_smooth(64, seed=1))
+    assert sniff_format(b) == "flac"
+    assert sniff_format(b"fLa") is None

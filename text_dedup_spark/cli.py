@@ -112,12 +112,26 @@ def cmd_minhash(args) -> None:
         spark.stop()
 
 
-def cmd_hash(args) -> None:
-    from .plans.staged import stage_hash
+def _catalog(spark, args):
+    """Checkpoint catalog factory: parquet paths (default) or real Iceberg
+    tables via the pure-Python format layer (sources/iceberg.py) — the
+    north rule's lineage/metrics/checkpoint tables become snapshot-audited
+    Iceberg tables with no runtime jar."""
+    fmt = getattr(args, "checkpoint_format", "parquet")
+    if fmt == "iceberg":
+        from .sources.iceberg import NativeIcebergCatalog
+
+        return NativeIcebergCatalog(spark, args.checkpoint_dir)
     from .sources.catalog import ParquetCatalog
 
+    return ParquetCatalog(spark, args.checkpoint_dir)
+
+
+def cmd_hash(args) -> None:
+    from .plans.staged import stage_hash
+
     spark, _own = _session("text-dedup-hash")
-    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    catalog = _catalog(spark, args)
     max_assigned = stage_hash(
         catalog,
         _read(spark, args.input, getattr(args, "format", "parquet")),
@@ -134,10 +148,9 @@ def cmd_hash(args) -> None:
 
 def cmd_dedup(args) -> None:
     from .plans.staged import stage_dedup, stage_dedup_incremental
-    from .sources.catalog import ParquetCatalog
 
     spark, _own = _session("text-dedup-dedup")
-    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    catalog = _catalog(spark, args)
     if getattr(args, "new_datasets", None):
         stage_dedup_incremental(catalog, args.datasets, args.new_datasets)
     else:
@@ -148,10 +161,9 @@ def cmd_dedup(args) -> None:
 
 def cmd_remove(args) -> None:
     from .plans.staged import stage_remove
-    from .sources.catalog import ParquetCatalog
 
     spark, _own = _session("text-dedup-remove")
-    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    catalog = _catalog(spark, args)
     kept, removed = stage_remove(catalog, args.dataset)
     print(f"kept={kept} removed={removed}")
     if _own:
@@ -184,10 +196,9 @@ def cmd_image_dedup(args) -> None:
 
 def cmd_image_features(args) -> None:
     from .plans.staged_image import stage_features
-    from .sources.catalog import ParquetCatalog
 
     spark, _own = _session("text-dedup-image-features")
-    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    catalog = _catalog(spark, args)
     df = _read(spark, args.input, getattr(args, "format", "parquet"))
     if getattr(args, "fmt_source", "column") == "sniff":
         from .functions.image_udf import with_sniffed_fmt
@@ -207,10 +218,9 @@ def cmd_image_features(args) -> None:
 def cmd_image_cluster(args) -> None:
     from .config import SimHashConfig
     from .plans.staged_image import stage_cluster
-    from .sources.catalog import ParquetCatalog
 
     spark, _own = _session("text-dedup-image-cluster")
-    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    catalog = _catalog(spark, args)
     stage_cluster(
         catalog, args.datasets,
         SimHashConfig(f=64, bit_diff=args.bit_diff, num_bucket=args.num_bucket),
@@ -221,10 +231,9 @@ def cmd_image_cluster(args) -> None:
 
 def cmd_image_apply(args) -> None:
     from .plans.staged_image import stage_apply
-    from .sources.catalog import ParquetCatalog
 
     spark, _own = _session("text-dedup-image-apply")
-    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    catalog = _catalog(spark, args)
     kept, removed = stage_apply(
         catalog,
         _read(spark, args.input, getattr(args, "format", "parquet")),
@@ -309,10 +318,9 @@ def cmd_simhash(args) -> None:
 
 def cmd_audit_bands(args) -> None:
     from .plans.staged import audit_split_vs_merged
-    from .sources.catalog import ParquetCatalog
 
     spark, _own = _session("text-dedup-audit-bands")
-    catalog = ParquetCatalog(spark, args.checkpoint_dir)
+    catalog = _catalog(spark, args)
     cfg = _minhash_cfg(args)
     report = audit_split_vs_merged(
         catalog, args.datasets, args.column, cfg,
@@ -425,12 +433,16 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("hash", help="stage A: signatures/bands checkpoint")
     _add_minhash_args(p, output=False)  # outputs go to --checkpoint_dir
     p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
+                   default="parquet")
     p.add_argument("--dataset", required=True)
     p.add_argument("--start_id", type=int, default=0)
     p.set_defaults(fn=cmd_hash)
 
     p = sub.add_parser("dedup", help="stage B: global connected components")
     p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
+                   default="parquet")
     p.add_argument("--datasets", nargs="+", required=True)
     p.add_argument(
         "--new_datasets", nargs="+", default=None,
@@ -442,6 +454,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("remove", help="stage C: split kept/removed")
     p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
+                   default="parquet")
     p.add_argument("--dataset", required=True)
     p.set_defaults(fn=cmd_remove)
 
@@ -465,6 +479,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="image stage A: per-row features + band checkpoints")
     _add_minhash_args(p, output=False)
     p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
+                   default="parquet")
     p.add_argument("--dataset", required=True)
     p.add_argument("--phash_source", default="column", choices=["column", "pixels"])
     p.add_argument("--undecodable", default="error", choices=["error", "flag"],
@@ -478,6 +494,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("image-cluster", help="image stage B: 3-modality global CC")
     p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
+                   default="parquet")
     p.add_argument("--datasets", nargs="+", required=True)
     p.add_argument("--bit_diff", type=int, default=3)
     p.add_argument("--num_bucket", type=int, default=4)
@@ -486,6 +504,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("image-apply", help="image stage C: split kept/removed")
     p.add_argument("--input", required=True)
     p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
+                   default="parquet")
     p.add_argument("--dataset", required=True)
     p.set_defaults(fn=cmd_image_apply)
 
@@ -541,6 +561,8 @@ def build_parser() -> argparse.ArgumentParser:
         "fresh one-pass hash of the merged corpus (show_splitHashesDiff)",
     )
     p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
+                   default="parquet")
     p.add_argument("--datasets", nargs="+", required=True)
     p.add_argument("--column", default="text")
     # same spellings as the `hash` stage so a run's flags paste across

@@ -399,7 +399,7 @@ def sniff_format(data: bytes) -> str | None:
     content-type lies); operators can sniff instead of trusting the fmt
     column. Returns the canonical fmt string ``decode_image`` routes on
     ('png', 'jpeg', 'gif', 'bmp', 'tiff', 'webp') or the media containers
-    ('wav', 'avi'), else None for unrecognized bytes."""
+    ('wav', 'avi', 'flac'), else None for unrecognized bytes."""
     if len(data) < 12:
         return None
     if data[:8] == _SIG:
@@ -412,6 +412,8 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"fLaC":
+        return "flac"
     if data[:4] == b"RIFF":
         kind = data[8:12]
         if kind == b"WEBP":
