@@ -930,6 +930,28 @@ def q_format_sniff_audit(spark, sf_dir):
     )
 
 
+def q_iceberg_scan(spark, sf_dir):
+    """S2 (external-warehouse scan) EXECUTED on the correctness board:
+    documents -> a REAL Iceberg v2 table (pure-Python format layer,
+    sources/iceberg.py: Avro manifests + snapshot metadata + identity
+    partition spec on lang) -> pruned scan back (manifest- and file-level
+    partition pruning on lang, file-level numeric bounds on doc_id) ->
+    rows. The oracle runs the same predicate over the source parquet, so
+    green proves the table round trip loses/duplicates/alters nothing
+    under pruning. The table is written to a fresh temp dir per run (the
+    driver collects lazily, so it must outlive this call)."""
+    import tempfile
+
+    from text_dedup_spark.sources.iceberg import NativeIcebergTable
+
+    loc = tempfile.mkdtemp(prefix="ice_contract_") + "/t"
+    t = NativeIcebergTable(spark, loc)
+    t.create(_docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+             partition_by=["lang"])
+    return t.read(filters={"lang": "en", "doc_id": ("<", 150)}).select(
+        "doc_id", "lang", "n_chars")
+
+
 # --- contract ----------------------------------------------------------------
 
 
@@ -985,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_container_parity": q_image_container_parity,
         "format_sniff_audit": q_format_sniff_audit,
+        "iceberg_scan": q_iceberg_scan,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
         "image_fidelity": q_image_fidelity,
@@ -1002,6 +1025,15 @@ _TOKENS = "regexp_extract_all(text, '[A-Za-z_0-9]+')"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # iceberg_scan: the Spark side routes documents through a REAL
+        # Iceberg v2 table (write + pruned read); the oracle is the same
+        # predicate on the source parquet — equality proves round-trip +
+        # pruning fidelity.
+        "iceberg_scan": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE lang = 'en' AND doc_id < 150
+        """,
         # image_fidelity is a WITNESS query over the deterministic synthetic
         # image table (200 rows, seed 42): the expected result is exactly one
         # row per image with both invariants true (PSNR >= 40 dB after the

@@ -385,3 +385,115 @@ def test_cli_staged_pipeline_on_iceberg_checkpoints(spark, tmp_path):
     cat = NativeIcebergCatalog(spark, ice)
     assert cat.read("metrics").count() >= 3   # hash, dedup, remove stages
     assert cat.read("lineage").count() > 0
+
+
+def test_file_level_column_bounds_pruning(spark, tmp_path):
+    """Numeric column bounds from parquet footers land in the manifest
+    (lower_bounds/upper_bounds keyed by field id) and prune files whose
+    range provably cannot satisfy a residual filter."""
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    # two appends with disjoint id ranges -> disjoint per-file bounds
+    t.create(_docs_df(spark, n=40).repartition(2))
+    t.append(_docs_df(spark, n=40, offset=10_000).repartition(2))
+    all_entries = t.scan_files()
+    assert len(all_entries) >= 4
+    e0 = all_entries[0]["data_file"]
+    assert e0["lower_bounds"] and e0["upper_bounds"]  # bounds recorded
+    hi = t.scan_files(filters={"id": (">=", 10_000)})
+    assert 0 < len(hi) < len(all_entries)
+    lo_eq = t.scan_files(filters={"id": 5})
+    assert 0 < len(lo_eq) < len(all_entries)
+    # strings deliberately carry no bounds (parquet stats truncation)
+    ids_with_bounds = {kv["key"] for kv in e0["lower_bounds"]}
+    md = t.metadata()
+    caption_id = next(f["id"] for f in md["schemas"][0]["fields"]
+                      if f["name"] == "caption")
+    assert caption_id not in ids_with_bounds
+    # exactness: pruned read == full read + filter
+    pruned = {r["id"] for r in t.read(filters={"id": (">=", 10_000)}).collect()}
+    assert pruned == set(range(10_000, 10_040))
+
+
+def test_cli_reads_iceberg_input(spark, tmp_path):
+    """--format iceberg: the dedup CLI reads its corpus FROM an Iceberg
+    table (the reference's warehouse-scan analog, minhash_spark.py:326)."""
+    from tests.conftest import synth_corpus
+    from text_dedup_spark import cli
+
+    table_loc = str(tmp_path / "corpus_ice")
+    df = spark.createDataFrame(synth_corpus(60, seed=7),
+                               "doc_id long, text string")
+    NativeIcebergTable(spark, table_loc).create(df)
+    total = df.count()  # synth_corpus plants extra duplicate rows
+    out = str(tmp_path / "out")
+    cli.main(["minhash", "--input", table_loc, "--format", "iceberg",
+              "--output", out, "--column", "text", "--id_column", "doc_id",
+              "--ngram_size", "3", "--num_perm", "16", "--threshold", "0.7"])
+    kept = spark.read.parquet(f"{out}/kept")
+    clusters = spark.read.parquet(f"{out}/clusters")
+    assert kept.count() + clusters.count() == total
+
+
+# -------------------------------------------------- 6. maintenance ops
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark), partition_by=["lang"])
+    n = t.delete_where({"lang": "en"})
+    assert n == 34
+    back = t.read()
+    assert back.count() == 66 and set(r["lang"] for r in back.collect()) == {"fr", "de"}
+    # the delete is a snapshot: time travel still sees the full table
+    first = t.snapshots()[0]["snapshot-id"]
+    assert t.read(snapshot_id=first).count() == 100
+    n2 = t.delete_where({"id": ("<", 10), "lang": "fr"})  # AND semantics
+    assert n2 == 3  # fr rows below id 10 are ids 1, 4, 7
+    with pytest.raises(ValueError, match="predicate"):
+        t.delete_where({})
+
+
+def test_compact_small_files(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "m"))
+    # ten appends of one row each -> ten tiny files (the metrics-table shape)
+    t.create(_docs_df(spark, n=1, langs=("en",)))
+    for i in range(1, 10):
+        t.append(_docs_df(spark, n=1, offset=i, langs=("en",)))
+    before, after = t.compact(n_files=1)
+    assert before == 10 and after == 1
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
+
+
+def test_expire_snapshots_reclaims_files(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=20))
+    t.append(_docs_df(spark, n=20, offset=100))
+    t.overwrite(_docs_df(spark, n=5, offset=900))
+    n_parquet_before = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(str(tmp_path / "t" / "data")))
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] == 2
+    assert stats["data_files_deleted"] > 0
+    assert len(t.snapshots()) == 1
+    # current data is intact; expired snapshots are gone
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(900, 905))
+    n_parquet_after = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _, _, files in os.walk(str(tmp_path / "t" / "data")))
+    assert n_parquet_after < n_parquet_before
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(snapshot_id=1)
+
+
+def test_expire_keeps_shared_files_of_retained_snapshots(spark, tmp_path):
+    """An append chain shares data files across snapshots: expiring the
+    parent of a retained append must NOT delete files the retained
+    snapshot still references."""
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=20))
+    t.append(_docs_df(spark, n=20, offset=100))  # snapshot 2 reuses s1 files
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] == 1
+    assert stats["data_files_deleted"] == 0  # every s1 file still reachable
+    assert t.read().count() == 40

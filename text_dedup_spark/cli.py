@@ -16,8 +16,13 @@ archive with ``python tools/make_pyfiles.py``):
       --ngram_size 5 --num_perm 64 --threshold 0.7
 Local shorthand: ``python -m text_dedup_spark.cli <subcommand> ...``
 
-Inputs/outputs are parquet paths (an Iceberg table name works anywhere a
-path does when the session has an Iceberg catalog — sources/catalog.py).
+Inputs/outputs are parquet paths by default. Iceberg works two ways:
+``--format iceberg`` reads the --input path as an Iceberg table location
+(pure-Python format layer, sources/iceberg.py — no runtime jar), and
+``--checkpoint_format iceberg`` makes every staged checkpoint, lineage and
+metrics table a snapshot-audited Iceberg table. A session configured with
+iceberg-spark-runtime can instead use catalog table names via
+sources/catalog.IcebergCatalog.
 """
 
 from __future__ import annotations
@@ -58,7 +63,7 @@ def _add_minhash_args(p: argparse.ArgumentParser, output: bool = True) -> None:
     # names/defaults per utils/add_args.py:54-93
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     if output:
         p.add_argument("--output", required=True)
         p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
@@ -512,7 +517,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("exact", help="exact-hash dedup")
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
@@ -522,7 +527,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("simhash", help="SimHash near-dedup")
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
@@ -578,7 +583,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("suffix", help="duplicate-substring removal")
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
@@ -593,7 +598,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
@@ -606,10 +611,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--benchmark", required=True)
     p.add_argument("--benchmark_format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--benchmark_column", default="text")
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
@@ -625,7 +630,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
@@ -639,7 +644,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--input", required=True)
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "json", "csv", "text", "warc"])
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")

@@ -205,6 +205,20 @@ def _manifest_entry_schema(part_cols: list[tuple[str, str]]) -> dict:
              "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # column bounds in the spec's array-of-k/v-records map form,
+            # keyed by field id, values in single-value serialization
+            {"name": "lower_bounds", "type": ["null", {
+                "type": "array", "items": {
+                    "type": "record", "name": "k126_v127", "fields": [
+                        {"name": "key", "type": "int", "field-id": 126},
+                        {"name": "value", "type": "bytes", "field-id": 127}]},
+                "logicalType": "map"}], "default": None, "field-id": 125},
+            {"name": "upper_bounds", "type": ["null", {
+                "type": "array", "items": {
+                    "type": "record", "name": "k129_v130", "fields": [
+                        {"name": "key", "type": "int", "field-id": 129},
+                        {"name": "value", "type": "bytes", "field-id": 130}]},
+                "logicalType": "map"}], "default": None, "field-id": 128},
         ],
     }
     return {
@@ -321,8 +335,41 @@ class NativeIcebergTable:
 
     # -- write path -------------------------------------------------------
 
+    _BOUND_TYPES = ("int", "long", "float", "double", "boolean")
+
+    def _column_bounds(self, meta, fields_by_name: dict) -> tuple[list, list]:
+        """Per-file column bounds from the parquet footer (numeric columns
+        only — parquet string stats may be truncated, so string bounds are
+        deliberately not recorded; partition-tuple pruning covers strings)."""
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                f = fields_by_name.get(name)
+                if f is None or f["type"] not in self._BOUND_TYPES:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    lo[name] = hi[name] = None  # unknown somewhere -> drop
+                    continue
+                if name in lo and lo[name] is None:
+                    continue
+                lo[name] = st.min if name not in lo else min(lo[name], st.min)
+                hi[name] = st.max if name not in hi else max(hi[name], st.max)
+        fields = {n: fields_by_name[n] for n in lo if lo[n] is not None}
+        lower = [{"key": fields[n]["id"],
+                  "value": _single_value_bytes(fields[n]["type"], lo[n])}
+                 for n in sorted(fields)]
+        upper = [{"key": fields[n]["id"],
+                  "value": _single_value_bytes(fields[n]["type"], hi[n])}
+                 for n in sorted(fields)]
+        return lower, upper
+
     def _stage_data(self, df: DataFrame, partition_by: list[str] | None,
-                    seq: int) -> list[dict]:
+                    seq: int, fields_by_name: dict | None = None) -> list[dict]:
         """Write parquet via Spark, return manifest data_file records."""
         data_dir = os.path.join(self.location, "data", f"s{seq:05d}")
         w = df.write.mode("overwrite")
@@ -359,13 +406,17 @@ class NativeIcebergTable:
                                 else raw == "true" if t == "boolean"
                                 else raw)
                     part = {c: part.get(c) for c in partition_by}
+                meta = pq.ParquetFile(p).metadata
+                lower, upper = self._column_bounds(meta, fields_by_name or {})
                 files.append({
                     "content": 0,
                     "file_path": p,
                     "file_format": "PARQUET",
                     "partition": part,
-                    "record_count": pq.ParquetFile(p).metadata.num_rows,
+                    "record_count": meta.num_rows,
                     "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
                 })
         return files
 
@@ -454,7 +505,7 @@ class NativeIcebergTable:
 
         snapshot_id = int.from_bytes(
             hashlib.sha1(f"{table_uuid}:{seq}".encode()).digest()[:8], "big") >> 1
-        files = self._stage_data(df, part_by or None, seq)
+        files = self._stage_data(df, part_by or None, seq, by_name)
         manifests = []
         if files:
             manifests.append(self._write_manifest(files, snapshot_id, seq, part_cols))
@@ -533,6 +584,123 @@ class NativeIcebergTable:
             partition_by = [c for c, _ in self.partition_columns()] or None
         self._commit(df, partition_by, "overwrite")
 
+    # -- maintenance (the Iceberg actions surface) -------------------------
+
+    def delete_where(self, filters: dict) -> int:
+        """Copy-on-write row-level delete: rewrite the table without the
+        matching rows as an 'overwrite' snapshot (v2 merge-on-read delete
+        files are out of scope — at dedup-pipeline scale deletes are rare,
+        bulk, and batched, which is exactly the copy-on-write case).
+        Returns the number of rows deleted (from manifest record counts,
+        no extra count job)."""
+        flt = self._normalize_filters(filters)
+        if not flt:
+            raise ValueError("delete_where requires at least one predicate")
+        before = sum(e["data_file"]["record_count"] for e in self.scan_files())
+        df = self.read()
+        cond = None
+        for c, (op, bound) in flt.items():
+            col = F.col(c)
+            if op == "in":
+                one = col.isin(list(bound))
+            else:
+                one = {"=": col.__eq__, "<": col.__lt__, "<=": col.__le__,
+                       ">": col.__gt__, ">=": col.__ge__}[op](bound)
+            cond = one if cond is None else cond & one
+        keep = df.where(~F.coalesce(cond, F.lit(False)))
+        self.overwrite(keep)
+        after = sum(e["data_file"]["record_count"] for e in self.scan_files())
+        return before - after
+
+    def compact(self, n_files: int = 1) -> tuple[int, int]:
+        """rewrite_data_files analog: many small files (e.g. one per
+        metrics append) -> few, via one overwrite snapshot. Partitioned
+        tables repartition on the partition columns so each partition
+        value lands in at most n_files files. Returns (files_before,
+        files_after)."""
+        before = len(self.scan_files())
+        df = self.read()
+        part_cols = [c for c, _ in self.partition_columns()]
+        if part_cols:
+            df = df.repartition(n_files, *[F.col(c) for c in part_cols])
+        else:
+            df = df.repartition(n_files)
+        self.overwrite(df)
+        return before, len(self.scan_files())
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire history: keep the most recent `keep_last` snapshots
+        (always including the current one), rewrite metadata without the
+        rest, and DELETE data/manifest files no retained snapshot
+        reaches — the storage-reclamation half of overwrite/compact.
+        Returns {'snapshots_removed', 'data_files_deleted',
+        'manifests_deleted'}."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        md = self.metadata()
+        snaps = sorted(md["snapshots"], key=lambda s: s["sequence-number"])
+        retained = snaps[-keep_last:]
+        cur = md["current-snapshot-id"]
+        if all(s["snapshot-id"] != cur for s in retained):
+            retained.append(next(s for s in snaps if s["snapshot-id"] == cur))
+        removed = [s for s in snaps if s not in retained]
+        if not removed:
+            return {"snapshots_removed": 0, "data_files_deleted": 0,
+                    "manifests_deleted": 0}
+        keep_ids = {s["snapshot-id"] for s in retained}
+
+        def _reach(snapshots):
+            mlists, manifests, datafiles = set(), set(), set()
+            for s in snapshots:
+                mlists.add(s["manifest-list"])
+                _, ms, _ = read_avro_file(s["manifest-list"])
+                for m in ms:
+                    manifests.add(m["manifest_path"])
+                    _, rows, _ = read_avro_file(m["manifest_path"])
+                    for e in rows:
+                        datafiles.add(e["data_file"]["file_path"])
+            return mlists, manifests, datafiles
+
+        keep_ml, keep_m, keep_d = _reach(retained)
+        drop_ml, drop_m, drop_d = _reach(removed)
+        n_data = n_manifest = 0
+        for p in sorted(drop_d - keep_d):
+            if os.path.exists(p):
+                os.remove(p)
+                n_data += 1
+        for p in sorted((drop_m - keep_m) | (drop_ml - keep_ml)):
+            if os.path.exists(p):
+                os.remove(p)
+                n_manifest += 1
+        # retained snapshots keep their parent links only if the parent
+        # survives (spec: parent-snapshot-id may dangle; we scrub it)
+        new_snaps = []
+        for s in retained:
+            s = dict(s)
+            if s.get("parent-snapshot-id") not in keep_ids:
+                s.pop("parent-snapshot-id", None)
+            new_snaps.append(s)
+        now_ms = int(time.time() * 1000)
+        version = self.current_version()
+        new_md = dict(md)
+        new_md["snapshots"] = sorted(new_snaps, key=lambda s: s["sequence-number"])
+        new_md["snapshot-log"] = [e for e in md.get("snapshot-log", [])
+                                  if e["snapshot-id"] in keep_ids]
+        new_md["last-updated-ms"] = now_ms
+        new_version = version + 1
+        md_path = os.path.join(self._meta_dir(), f"v{new_version}.metadata.json")
+        tmp = md_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_md, f, indent=1)
+        os.replace(tmp, md_path)
+        tmp = self._hint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(tmp, self._hint_path())
+        return {"snapshots_removed": len(removed),
+                "data_files_deleted": n_data,
+                "manifests_deleted": n_manifest}
+
     # -- read path --------------------------------------------------------
 
     @staticmethod
@@ -574,6 +742,9 @@ class NativeIcebergTable:
         part_cols = dict(self.partition_columns())
         flt = self._normalize_filters(filters)
         part_flt = {c: f for c, f in flt.items() if c in part_cols}
+        schema = next(s for s in md["schemas"]
+                      if s["schema-id"] == md["current-schema-id"])
+        schema_by_name = {f["name"]: f for f in schema["fields"]}
 
         _, manifests, _ = read_avro_file(snap["manifest-list"])
         part_order = [c for c, _ in self.partition_columns()]
@@ -606,10 +777,45 @@ class NativeIcebergTable:
                 if e["status"] == 2:
                     continue
                 part = e["data_file"]["partition"]
-                if all(self._match(op, part.get(c), bound)
-                       for c, (op, bound) in part_flt.items()):
-                    entries.append(e)
+                if not all(self._match(op, part.get(c), bound)
+                           for c, (op, bound) in part_flt.items()):
+                    continue
+                if self._file_excluded_by_bounds(e["data_file"], flt,
+                                                 schema_by_name):
+                    continue
+                entries.append(e)
         return entries
+
+    def _file_excluded_by_bounds(self, data_file: dict, flt: dict,
+                                 by_name: dict) -> bool:
+        """File-level pruning on the data_file's column bounds (numeric
+        columns; written from the parquet footer at commit time). A file is
+        skipped only when its [lower, upper] provably cannot satisfy the
+        filter — results stay exact because read() re-applies residual
+        filters row-wise."""
+        lower = data_file.get("lower_bounds")
+        upper = data_file.get("upper_bounds")
+        if not lower or not upper or not flt:
+            return False
+        lo_by_id = {kv["key"]: kv["value"] for kv in lower}
+        hi_by_id = {kv["key"]: kv["value"] for kv in upper}
+        for c, (op, bound) in flt.items():
+            f = by_name.get(c)
+            if f is None or f["id"] not in lo_by_id or f["id"] not in hi_by_id:
+                continue
+            if not isinstance(f["type"], str) or f["type"] not in self._BOUND_TYPES:
+                continue
+            lo = _single_value_parse(f["type"], lo_by_id[f["id"]])
+            hi = _single_value_parse(f["type"], hi_by_id[f["id"]])
+            if op == "=" and not (lo <= bound <= hi):
+                return True
+            if op in ("<", "<=") and not self._match(op, lo, bound):
+                return True
+            if op in (">", ">=") and not self._match(op, hi, bound):
+                return True
+            if op == "in" and not any(lo <= b <= hi for b in bound):
+                return True
+        return False
 
     def read(self, snapshot_id: int | None = None,
              filters: dict | None = None) -> DataFrame:

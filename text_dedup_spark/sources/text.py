@@ -45,9 +45,15 @@ def read_input(
     spark: SparkSession, path: str, fmt: str = "parquet", text_col: str = "text"
 ) -> DataFrame:
     """Format-dispatching reader for the CLI (reference scripts accept HF
-    datasets / text / BigQuery; here: parquet | json | csv | text)."""
+    datasets / text / BigQuery, minhash_spark.py:326; here: parquet | json |
+    csv | text | warc | iceberg — the warehouse-scan analog reads an
+    Iceberg table location via the pure-Python format layer)."""
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "iceberg":
+        from .iceberg import NativeIcebergTable
+
+        return NativeIcebergTable(spark, path).read()
     if fmt == "json":
         return spark.read.json(path)
     if fmt == "csv":
