@@ -407,6 +407,9 @@ class NativeIcebergTable:
                                 else raw)
                     part = {c: part.get(c) for c in partition_by}
                 meta = pq.ParquetFile(p).metadata
+                if meta.num_rows == 0:
+                    os.remove(p)  # empty task output; Iceberg commits no
+                    continue      # zero-row data files
                 lower, upper = self._column_bounds(meta, fields_by_name or {})
                 files.append({
                     "content": 0,
