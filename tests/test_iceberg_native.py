@@ -238,13 +238,9 @@ def test_null_partition_values(spark, tmp_path):
     assert t.read(filters={"lang": "en"}).count() == 1
 
 
-def test_schema_change_rejected(spark, tmp_path):
+def test_create_twice_rejected(spark, tmp_path):
     t = NativeIcebergTable(spark, str(tmp_path / "t"))
     t.create(_docs_df(spark, n=5))
-    widened = spark.createDataFrame([(1, "x", "en", 9.0)],
-                                    "id long, caption string, lang string, q double")
-    with pytest.raises(ValueError, match="schema change"):
-        t.append(widened)
     with pytest.raises(ValueError, match="already exists"):
         t.create(_docs_df(spark, n=1))
 
@@ -497,3 +493,111 @@ def test_expire_keeps_shared_files_of_retained_snapshots(spark, tmp_path):
     assert stats["snapshots_removed"] == 1
     assert stats["data_files_deleted"] == 0  # every s1 file still reachable
     assert t.read().count() == 40
+
+
+# ------------------------------------------- 7. streaming -> Iceberg sink
+
+
+def test_stream_batch_append_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once; the batch-id check in the snapshot
+    summary makes appends exactly-once: replaying the same (id, data)
+    pair is a no-op."""
+    from text_dedup_spark.streaming.iceberg_sink import (
+        append_stream_batch,
+        committed_stream_batches,
+    )
+
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    df = _docs_df(spark, n=10)
+    assert append_stream_batch(t, df, 0, query_id="q1") is True
+    assert append_stream_batch(t, df, 0, query_id="q1") is False  # replay
+    assert t.read().count() == 10
+    assert len(t.snapshots()) == 1
+    assert append_stream_batch(t, _docs_df(spark, n=5, offset=100), 1) is True
+    assert t.read().count() == 15
+    assert committed_stream_batches(t) == {0, 1}
+    assert t.snapshots()[0]["summary"]["streaming-batch-id"] == "0"
+    assert t.snapshots()[0]["summary"]["streaming-query-id"] == "q1"
+
+
+def test_streaming_query_lands_in_iceberg(spark, tmp_path):
+    """A real Structured Streaming query (file source, availableNow)
+    appends micro-batches to an Iceberg table; a restart over the same
+    checkpoint ingests ONLY new files."""
+    from text_dedup_spark.streaming.iceberg_sink import start_iceberg_stream
+
+    src = str(tmp_path / "src")
+    loc = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _docs_df(spark, n=20).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "id long, caption string, lang string").parquet(src)
+    q = start_iceberg_stream(stream, loc, ckpt)
+    q.awaitTermination(120)
+    t = NativeIcebergTable(spark, loc)
+    assert t.read().count() == 20
+    n_snaps_first = len(t.snapshots())
+    assert all("streaming-batch-id" in s["summary"] for s in t.snapshots())
+
+    # second run: one new file -> only its rows are appended
+    _docs_df(spark, n=7, offset=1000).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream2 = spark.readStream.schema(
+        "id long, caption string, lang string").parquet(src)
+    q2 = start_iceberg_stream(stream2, loc, ckpt)
+    q2.awaitTermination(120)
+    back = t.read()
+    assert back.count() == 27
+    assert sorted(r["id"] for r in back.collect()) == (
+        list(range(20)) + list(range(1000, 1007)))
+    assert len(t.snapshots()) > n_snaps_first
+
+
+# -------------------------------------------- 8. additive schema evolution
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """Appending with a new nullable column evolves the schema: old files
+    read back with nulls for it, new field ids never collide with old
+    ones (bounds maps key on ids), and time travel reads each snapshot
+    with ITS schema."""
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=10), partition_by=["lang"])
+    first_snap = t.snapshots()[0]["snapshot-id"]
+    old_ids = {f["id"] for f in t.metadata()["schemas"][0]["fields"]}
+
+    widened = spark.createDataFrame(
+        [(100 + i, f"new {i}", "en", float(i)) for i in range(5)],
+        "id long, caption string, lang string, quality double")
+    t.append(widened)
+
+    md = t.metadata()
+    assert len(md["schemas"]) == 2
+    assert md["current-schema-id"] == 1
+    new_field = next(f for f in md["schemas"][1]["fields"]
+                     if f["name"] == "quality")
+    assert new_field["id"] not in old_ids and not new_field["required"]
+
+    back = t.read()
+    assert back.count() == 15
+    rows = {r["id"]: r["quality"] for r in back.collect()}
+    assert rows[0] is None and rows[100] == 0.0  # old rows -> null
+    # time travel: the first snapshot reads with the ORIGINAL schema
+    old = t.read(snapshot_id=first_snap)
+    assert "quality" not in old.columns and old.count() == 10
+    # further appends under the evolved schema are fine and stable
+    t.append(spark.createDataFrame(
+        [(200, "x", "fr", 1.5)],
+        "id long, caption string, lang string, quality double"))
+    assert len(t.metadata()["schemas"]) == 2  # no new schema minted
+    assert t.read().count() == 16
+
+
+def test_schema_evolution_rejects_non_additive(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=5))
+    with pytest.raises(ValueError, match="missing from the new data"):
+        t.append(spark.createDataFrame([(1, "a")], "id long, caption string"))
+    with pytest.raises(ValueError, match="type changed"):
+        t.append(spark.createDataFrame([(1, "a", 7)],
+                                       "id long, caption string, lang int"))

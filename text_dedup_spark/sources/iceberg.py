@@ -32,11 +32,17 @@ Iceberg table spec (format version 2) directly:
   staged pipelines can write lineage + metrics tables to Iceberg here
   and now.
 
-Out of scope (documented, not silently wrong): row-level deletes
-(v2 delete files), schema evolution beyond additive reads, non-identity
-transforms (bucket/truncate/date) on the WRITE path, and multi-writer
-commit races (HadoopCatalog's atomic-rename caveat applies; single
-writer assumed, as in the staged pipelines).
+Also in: ADDITIVE schema evolution (new nullable columns get fresh field
+ids; old files read back with nulls for them, time travel reads with the
+snapshot's own schema), copy-on-write `delete_where`, `compact`
+(rewrite_data_files analog), `expire_snapshots` (reachability GC), and a
+batch-id-idempotent streaming sink (streaming/iceberg_sink.py).
+
+Out of scope (documented, not silently wrong): merge-on-read deletes
+(v2 delete files — deletes here are copy-on-write), column drops/renames/
+type changes, non-identity transforms (bucket/truncate/date) on the
+WRITE path, and multi-writer commit races (HadoopCatalog's atomic-rename
+caveat applies; single writer assumed, as in the staged pipelines).
 
 At 100 TB: planning is metadata-bounded — manifests are read on the
 driver (like Iceberg's own planning), each manifest row is ~100 bytes,
@@ -141,6 +147,20 @@ def _ice_schema_to_struct(schema: dict) -> T.StructType:
                       not f.get("required", False))
         for f in schema["fields"]
     ])
+
+
+def _strip_ids(t):
+    """Nested Iceberg type with id annotations removed (type comparison)."""
+    if isinstance(t, str):
+        return t
+    if t["type"] == "list":
+        return {"type": "list", "element": _strip_ids(t["element"]),
+                "element-required": t.get("element-required", False)}
+    if t["type"] == "struct":
+        return {"type": "struct", "fields": [
+            {"name": f["name"], "required": f.get("required", False),
+             "type": _strip_ids(f["type"])} for f in t["fields"]]}
+    return t
 
 
 def _single_value_bytes(ice_type: str, v) -> bytes:
@@ -462,8 +482,64 @@ class NativeIcebergTable:
             "partitions": summaries if part_cols else None,
         }
 
+    def _evolve_schema(self, md: dict, df: DataFrame) -> tuple[dict, list, int]:
+        """Additive schema evolution: every existing column must appear in
+        the new frame with the same Iceberg type (ids are PRESERVED — the
+        bounds/pruning maps key on them); genuinely new columns must be
+        nullable and get fresh ids past last-column-id. Returns
+        (current_schema, all_schemas, last_column_id). Column drops,
+        renames, and type changes are rejected (out of scope, explicit)."""
+        old_schema = next(s for s in md["schemas"]
+                          if s["schema-id"] == md["current-schema-id"])
+        old_by_name = {f["name"]: f for f in old_schema["fields"]}
+        ids = _IdGen(md.get("last-column-id", 0))
+        new_names = []
+        new_by_name = {}
+        for f in df.schema.fields:
+            new_names.append(f.name)
+            new_by_name[f.name] = f
+        missing = [n for n in old_by_name if n not in new_by_name]
+        if missing:
+            raise ValueError(
+                f"schema change: columns {missing} missing from the new data "
+                "(only ADDITIVE evolution is supported)")
+        fields = []
+        changed = False
+        for f in old_schema["fields"]:
+            probe = _IdGen(10_000_000)  # throwaway ids for comparison only
+            new_t = _spark_type_to_ice(new_by_name[f["name"]].dataType, probe)
+            old_t = f["type"]
+            same = (new_t == old_t if isinstance(old_t, str)
+                    else json.dumps(_strip_ids(new_t), sort_keys=True)
+                    == json.dumps(_strip_ids(old_t), sort_keys=True))
+            if not same:
+                raise ValueError(
+                    f"schema change: column {f['name']!r} type changed "
+                    f"({old_t!r} -> {new_t!r}); only additive evolution is "
+                    "supported")
+            fields.append(f)
+        for name in new_names:
+            if name in old_by_name:
+                continue
+            changed = True
+            sf = new_by_name[name]
+            fid = ids.next()
+            if not sf.nullable:
+                raise ValueError(
+                    f"new column {name!r} must be nullable (existing data "
+                    "files have no values for it)")
+            fields.append({"id": fid, "name": name, "required": False,
+                           "type": _spark_type_to_ice(sf.dataType, ids)})
+        if not changed:
+            return old_schema, md["schemas"], md.get("last-column-id", 0)
+        new_schema = {"type": "struct",
+                      "schema-id": max(s["schema-id"] for s in md["schemas"]) + 1,
+                      "fields": fields}
+        return new_schema, md["schemas"] + [new_schema], ids.last
+
     def _commit(self, df: DataFrame, partition_by: list[str] | None,
-                operation: str) -> None:
+                operation: str,
+                summary_extra: dict[str, str] | None = None) -> None:
         creating = not self.exists()
         if creating:
             os.makedirs(self._meta_dir(), exist_ok=True)
@@ -482,9 +558,14 @@ class NativeIcebergTable:
             if partition_by is None and operation != "overwrite":
                 partition_by = [c for c, _ in self.partition_columns()] or None
 
-        ids = _IdGen()
-        schema = _struct_to_ice(df.schema, ids)
-        schema["schema-id"] = 0
+        if md is None:
+            ids = _IdGen()
+            schema = _struct_to_ice(df.schema, ids)
+            schema["schema-id"] = 0
+            schemas = [schema]
+            last_column_id = ids.last
+        else:
+            schema, schemas, last_column_id = self._evolve_schema(md, df)
         by_name = {f["name"]: f for f in schema["fields"]}
         part_by = list(partition_by or [])
         for c in part_by:
@@ -498,13 +579,6 @@ class NativeIcebergTable:
              "source-id": by_name[c]["id"], "field-id": 1000 + i}
             for i, c in enumerate(part_by)
         ]}
-        if md is not None:
-            old_schema = next(s for s in md["schemas"]
-                              if s["schema-id"] == md["current-schema-id"])
-            if json.dumps(old_schema, sort_keys=True) != json.dumps(schema, sort_keys=True):
-                raise ValueError(
-                    "schema change on append/overwrite not supported "
-                    "(drop and recreate the table)")
 
         snapshot_id = int.from_bytes(
             hashlib.sha1(f"{table_uuid}:{seq}".encode()).digest()[:8], "big") >> 1
@@ -527,8 +601,9 @@ class NativeIcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
-            "summary": {"operation": operation},
-            "schema-id": 0,
+            "summary": {"operation": operation,
+                        **{k: str(v) for k, v in (summary_extra or {}).items()}},
+            "schema-id": schema["schema-id"],
         }
         if parent is not None:
             snapshot["parent-snapshot-id"] = parent
@@ -538,9 +613,9 @@ class NativeIcebergTable:
             "location": self.location,
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
-            "last-column-id": ids.last,
-            "current-schema-id": 0,
-            "schemas": [schema],
+            "last-column-id": last_column_id,
+            "current-schema-id": schema["schema-id"],
+            "schemas": schemas,
             "default-spec-id": 0,
             "partition-specs": [spec],
             "last-partition-id": 1000 + len(part_by) - 1 if part_by else 999,
@@ -573,11 +648,10 @@ class NativeIcebergTable:
             raise ValueError(f"Iceberg table already exists at {self.location}")
         self._commit(df, partition_by, "append")
 
-    def append(self, df: DataFrame) -> None:
-        if not self.exists():
-            self.create(df)
-            return
-        self._commit(df, None, "append")
+    def append(self, df: DataFrame,
+               summary_extra: dict[str, str] | None = None) -> None:
+        # first append creates the table (same commit shape)
+        self._commit(df, None, "append", summary_extra)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         if not self.exists():
@@ -827,7 +901,13 @@ class NativeIcebergTable:
         residual (non-partition) filters are applied as a Spark filter so
         results are exact regardless of pruning."""
         entries = self.scan_files(snapshot_id, filters)
-        struct = self.schema_struct()
+        md = self.metadata()
+        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+        # time travel reads with the SNAPSHOT's schema (Iceberg semantics)
+        schema_id = snap.get("schema-id", md["current-schema-id"])
+        schema = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+        struct = _ice_schema_to_struct(schema)
         part_order = [c for c, _ in self.partition_columns()]
         if not entries:
             return self.spark.createDataFrame([], struct)
@@ -839,9 +919,15 @@ class NativeIcebergTable:
         parts = []
         for key, paths in sorted(groups.items(),
                                  key=lambda kv: tuple(map(repr, kv[0]))):
-            df = self.spark.read.parquet(*paths)
+            # mergeSchema: a group can mix files written under older
+            # (additively-evolved) schemas; columns a file predates read
+            # back as null, per the Iceberg evolution contract
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             for c, v in zip(part_order, key):
                 df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
+            for f in struct.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             parts.append(df.select(*[f.name for f in struct.fields]))
         # seed with an empty frame of the DECLARED schema: union nullability
         # is the OR of its branches, so literal partition columns read back
