@@ -601,3 +601,76 @@ def test_schema_evolution_rejects_non_additive(spark, tmp_path):
     with pytest.raises(ValueError, match="type changed"):
         t.append(spark.createDataFrame([(1, "a", 7)],
                                        "id long, caption string, lang int"))
+
+
+# ------------------------------------------- 9. merge-on-read deletes
+
+
+def test_position_delete_merge_on_read(spark, tmp_path):
+    """v2 position deletes: matching rows' (file_path, row_index) pairs are
+    committed under a content=1 manifest; data files are NOT rewritten;
+    rows re-appended after the delete survive (sequence-number rule)."""
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=30), partition_by=["lang"])
+    files_before = {e["data_file"]["file_path"] for e in t.scan_files()}
+    n = t.delete_where({"lang": "en"}, mode="position")
+    assert n == 10
+    assert {e["data_file"]["file_path"] for e in t.scan_files()} == files_before
+    assert t.read().count() == 20
+    assert set(r["lang"] for r in t.read().collect()) == {"fr", "de"}
+    assert t.snapshots()[-1]["summary"]["operation"] == "delete"
+    # delete files are planned separately and carry content=1
+    dels = t.scan_deletes()
+    assert len(dels) == 1 and dels[0]["data_file"]["content"] == 1
+    # time travel before the delete sees everything
+    assert t.read(snapshot_id=t.snapshots()[0]["snapshot-id"]).count() == 30
+    # rows appended AFTER the delete survive (data seq > delete seq)
+    t.append(_docs_df(spark, n=6, langs=("en",)))
+    assert t.read().where("lang = 'en'").count() == 6
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path):
+    """v2 equality deletes: distinct equality tuples with field ids,
+    applied to data files STRICTLY before the delete's sequence number."""
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=30), partition_by=["lang"])
+    n = t.delete_where({"lang": "fr"}, mode="equality")
+    assert n == 10
+    dels = t.scan_deletes()
+    assert len(dels) == 1 and dels[0]["data_file"]["content"] == 2
+    md = t.metadata()
+    lang_id = next(f["id"] for f in md["schemas"][0]["fields"]
+                   if f["name"] == "lang")
+    assert dels[0]["data_file"]["equality_ids"] == [lang_id]
+    assert t.read().count() == 20
+    # fr rows appended after the delete survive
+    t.append(_docs_df(spark, n=3, offset=500, langs=("fr",)))
+    assert t.read().where("lang = 'fr'").count() == 3
+    # filters remain exact with deletes in play
+    assert t.read(filters={"lang": "fr"}).count() == 3
+    assert t.read(filters={"id": ("<", 3)}).count() == 2  # fr id 1 deleted
+
+
+def test_compact_purges_delete_files(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=30), partition_by=["lang"])
+    t.delete_where({"lang": "en"}, mode="position")
+    t.delete_where({"id": ("<", 2)}, mode="equality")
+    expect = {(r["id"], r["lang"]) for r in t.read().collect()}
+    t.compact(n_files=1)
+    assert t.scan_deletes() == []  # rewritten table needs no delete files
+    assert {(r["id"], r["lang"]) for r in t.read().collect()} == expect
+
+
+def test_mor_modes_agree_with_copy_on_write(spark, tmp_path):
+    """All three delete strategies produce identical table contents."""
+    results = {}
+    for mode in ("copy-on-write", "position", "equality"):
+        t = NativeIcebergTable(spark, str(tmp_path / mode))
+        t.create(_docs_df(spark, n=40), partition_by=["lang"])
+        n = t.delete_where({"lang": "de", "id": ("<", 20)}, mode=mode)
+        assert n == 6, (mode, n)  # de rows below 20: ids 2,5,8,11,14,17
+        results[mode] = sorted(
+            (r["id"], r["caption"], r["lang"]) for r in t.read().collect())
+    assert results["position"] == results["copy-on-write"]
+    assert results["equality"] == results["copy-on-write"]

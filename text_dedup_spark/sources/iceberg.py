@@ -34,12 +34,16 @@ Iceberg table spec (format version 2) directly:
 
 Also in: ADDITIVE schema evolution (new nullable columns get fresh field
 ids; old files read back with nulls for them, time travel reads with the
-snapshot's own schema), copy-on-write `delete_where`, `compact`
-(rewrite_data_files analog), `expire_snapshots` (reachability GC), and a
-batch-id-idempotent streaming sink (streaming/iceberg_sink.py).
+snapshot's own schema), row-level deletes in all three spec shapes —
+copy-on-write, merge-on-read POSITION delete files (written from Spark's
+`_metadata.row_index`, applied to data files with sequence_number <= the
+delete's) and merge-on-read EQUALITY delete files (field-id-tagged
+equality tuples, applied strictly-before so re-appended rows survive) —
+plus `compact` (rewrite_data_files analog, purges delete files),
+`expire_snapshots` (reachability GC), and a batch-id-idempotent
+streaming sink (streaming/iceberg_sink.py).
 
-Out of scope (documented, not silently wrong): merge-on-read deletes
-(v2 delete files — deletes here are copy-on-write), column drops/renames/
+Out of scope (documented, not silently wrong): column drops/renames/
 type changes, non-identity transforms (bucket/truncate/date) on the
 WRITE path, and multi-writer commit races (HadoopCatalog's atomic-rename
 caveat applies; single writer assumed, as in the staged pipelines).
@@ -239,6 +243,10 @@ def _manifest_entry_schema(part_cols: list[tuple[str, str]]) -> dict:
                         {"name": "key", "type": "int", "field-id": 129},
                         {"name": "value", "type": "bytes", "field-id": 130}]},
                 "logicalType": "map"}], "default": None, "field-id": 128},
+            # field ids of the columns an EQUALITY delete file matches on
+            {"name": "equality_ids", "type": ["null", {
+                "type": "array", "items": "int"}],
+                "default": None, "field-id": 135},
         ],
     }
     return {
@@ -444,8 +452,11 @@ class NativeIcebergTable:
         return files
 
     def _write_manifest(self, files: list[dict], snapshot_id: int, seq: int,
-                        part_cols: list[tuple[str, str]]) -> dict:
-        path = os.path.join(self._meta_dir(), f"m{seq:05d}-{snapshot_id}.avro")
+                        part_cols: list[tuple[str, str]],
+                        content: int = 0) -> dict:
+        kind = "data" if content == 0 else "deletes"
+        path = os.path.join(
+            self._meta_dir(), f"m{seq:05d}-{kind}-{snapshot_id}.avro")
         entries = [{
             "status": 1, "snapshot_id": snapshot_id,
             "sequence_number": seq, "file_sequence_number": seq,
@@ -453,7 +464,7 @@ class NativeIcebergTable:
         } for f in files]
         schema = _manifest_entry_schema(part_cols)
         write_avro_file(path, schema, entries, metadata={
-            "format-version": "2", "content": "data",
+            "format-version": "2", "content": kind,
         })
         summaries = []
         for name, ice_t in part_cols:
@@ -469,7 +480,7 @@ class NativeIcebergTable:
             "manifest_path": path,
             "manifest_length": os.path.getsize(path),
             "partition_spec_id": 0,
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
@@ -592,6 +603,15 @@ class NativeIcebergTable:
                 _, old_manifests, _ = read_avro_file(cur["manifest-list"])
                 manifests.extend(old_manifests)
 
+        self._finalize(md, version, table_uuid, seq, parent, snapshot_id,
+                       manifests, operation, summary_extra, schema, schemas,
+                       last_column_id, spec, part_by)
+
+    def _finalize(self, md, version, table_uuid, seq, parent, snapshot_id,
+                  manifests, operation, summary_extra, schema, schemas,
+                  last_column_id, spec, part_by) -> None:
+        """Write manifest list -> snapshot -> metadata json -> version hint
+        (the commit tail shared by data commits and delete commits)."""
         mlist_path = os.path.join(self._meta_dir(), f"snap-{snapshot_id}.avro")
         write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, manifests,
                         metadata={"format-version": "2"})
@@ -663,18 +683,9 @@ class NativeIcebergTable:
 
     # -- maintenance (the Iceberg actions surface) -------------------------
 
-    def delete_where(self, filters: dict) -> int:
-        """Copy-on-write row-level delete: rewrite the table without the
-        matching rows as an 'overwrite' snapshot (v2 merge-on-read delete
-        files are out of scope — at dedup-pipeline scale deletes are rare,
-        bulk, and batched, which is exactly the copy-on-write case).
-        Returns the number of rows deleted (from manifest record counts,
-        no extra count job)."""
-        flt = self._normalize_filters(filters)
-        if not flt:
-            raise ValueError("delete_where requires at least one predicate")
-        before = sum(e["data_file"]["record_count"] for e in self.scan_files())
-        df = self.read()
+    @staticmethod
+    def _filter_condition(flt: dict):
+        """Spark Column for an AND of normalized filter predicates."""
         cond = None
         for c, (op, bound) in flt.items():
             col = F.col(c)
@@ -684,10 +695,99 @@ class NativeIcebergTable:
                 one = {"=": col.__eq__, "<": col.__lt__, "<=": col.__le__,
                        ">": col.__gt__, ">=": col.__ge__}[op](bound)
             cond = one if cond is None else cond & one
-        keep = df.where(~F.coalesce(cond, F.lit(False)))
-        self.overwrite(keep)
-        after = sum(e["data_file"]["record_count"] for e in self.scan_files())
-        return before - after
+        return cond
+
+    def delete_where(self, filters: dict, mode: str = "copy-on-write") -> int:
+        """Row-level delete, three spec-shaped strategies:
+
+        - ``copy-on-write`` (default): rewrite the table without matching
+          rows as an 'overwrite' snapshot — the right shape for rare, bulk,
+          batched deletes (the dedup-removal case).
+        - ``position``: v2 merge-on-read POSITION delete file — matching
+          rows' (file_path, pos) pairs (Spark's _metadata.row_index) are
+          written sorted to a delete parquet committed under a content=1
+          manifest; data files are NOT rewritten. Applies on read to data
+          files with sequence_number <= the delete's.
+        - ``equality``: v2 merge-on-read EQUALITY delete file — the
+          DISTINCT equality-column tuples of matching rows, manifest entry
+          carrying their field ids; applies to data files with
+          sequence_number < the delete's (so re-appended rows survive).
+
+        Returns the number of rows deleted."""
+        flt = self._normalize_filters(filters)
+        if not flt:
+            raise ValueError("delete_where requires at least one predicate")
+        if mode == "copy-on-write":
+            before = sum(e["data_file"]["record_count"]
+                         for e in self.scan_files())
+            cond = self._filter_condition(flt)
+            keep = self.read().where(~F.coalesce(cond, F.lit(False)))
+            self.overwrite(keep)
+            after = sum(e["data_file"]["record_count"]
+                        for e in self.scan_files())
+            return before - after
+        if mode not in ("position", "equality"):
+            raise ValueError(f"unknown delete mode {mode!r}")
+        before = self.read().count()
+        matched = self.read(_with_lineage=True).where(
+            F.coalesce(self._filter_condition(flt), F.lit(False)))
+        md = self.metadata()
+        seq = md["last-sequence-number"] + 1
+        snapshot_id = int.from_bytes(
+            hashlib.sha1(f"{md['table-uuid']}:{seq}".encode()).digest()[:8],
+            "big") >> 1
+        ddir = os.path.join(self.location, "data", f"s{seq:05d}-deletes")
+        if mode == "position":
+            (matched.select(F.col("__fp__").alias("file_path"),
+                            F.col("__pos__").alias("pos"))
+             .orderBy("file_path", "pos")  # spec: position deletes sorted
+             .coalesce(1).write.mode("overwrite").parquet(ddir))
+            content, eq_ids = 1, None
+        else:
+            cols = sorted(flt)
+            schema = next(s for s in md["schemas"]
+                          if s["schema-id"] == md["current-schema-id"])
+            by_name = {f["name"]: f for f in schema["fields"]}
+            eq_ids = [by_name[c]["id"] for c in cols]
+            (matched.select(*cols).distinct()
+             .coalesce(1).write.mode("overwrite").parquet(ddir))
+            content = 2
+        import pyarrow.parquet as pq
+
+        part_cols = self.partition_columns()
+        files = []
+        for fn in sorted(os.listdir(ddir)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(ddir, fn)
+            meta = pq.ParquetFile(p).metadata
+            if meta.num_rows == 0:
+                os.remove(p)
+                continue
+            files.append({
+                "content": content, "file_path": p, "file_format": "PARQUET",
+                "partition": {c: None for c, _ in part_cols},
+                "record_count": meta.num_rows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "lower_bounds": None, "upper_bounds": None,
+                "equality_ids": eq_ids,
+            })
+        cur = self.current_snapshot()
+        _, old_manifests, _ = read_avro_file(cur["manifest-list"])
+        manifests = list(old_manifests)
+        if files:
+            manifests.insert(0, self._write_manifest(
+                files, snapshot_id, seq, part_cols, content=1))
+        schema = next(s for s in md["schemas"]
+                      if s["schema-id"] == md["current-schema-id"])
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        self._finalize(md, self.current_version(), md["table-uuid"], seq,
+                       md.get("current-snapshot-id"), snapshot_id, manifests,
+                       "delete", None, schema, md["schemas"],
+                       md.get("last-column-id", 0), spec,
+                       [c for c, _ in part_cols])
+        return before - self.read().count()
 
     def compact(self, n_files: int = 1) -> tuple[int, int]:
         """rewrite_data_files analog: many small files (e.g. one per
@@ -849,9 +949,11 @@ class NativeIcebergTable:
                         skip = True
                 if skip:
                     continue
+            if m.get("content", 0) != 0:
+                continue  # delete manifests are planned by scan_deletes
             _, rows, _ = read_avro_file(m["manifest_path"])
             for e in rows:
-                if e["status"] == 2:
+                if e["status"] == 2 or e["data_file"].get("content", 0) != 0:
                     continue
                 part = e["data_file"]["partition"]
                 if not all(self._match(op, part.get(c), bound)
@@ -862,6 +964,26 @@ class NativeIcebergTable:
                     continue
                 entries.append(e)
         return entries
+
+    def scan_deletes(self, snapshot_id: int | None = None) -> list[dict]:
+        """Manifest entries of live DELETE files (content 1 = position,
+        2 = equality) for the snapshot. Never partition-pruned: a delete
+        file can apply to any data file at or before its sequence number."""
+        md = self.metadata()
+        sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+        snap = next((s for s in md["snapshots"] if s["snapshot-id"] == sid), None)
+        if snap is None:
+            raise ValueError(f"unknown snapshot id {sid}")
+        _, manifests, _ = read_avro_file(snap["manifest-list"])
+        out = []
+        for m in manifests:
+            if m.get("content", 0) != 1:
+                continue
+            _, rows, _ = read_avro_file(m["manifest_path"])
+            out.extend(e for e in rows
+                       if e["status"] != 2
+                       and e["data_file"].get("content", 0) in (1, 2))
+        return out
 
     def _file_excluded_by_bounds(self, data_file: dict, flt: dict,
                                  by_name: dict) -> bool:
@@ -895,11 +1017,18 @@ class NativeIcebergTable:
         return False
 
     def read(self, snapshot_id: int | None = None,
-             filters: dict | None = None) -> DataFrame:
+             filters: dict | None = None,
+             _with_lineage: bool = False) -> DataFrame:
         """Scan to a DataFrame. Identity partition values come back as typed
         literal columns (one parquet load per live partition tuple);
         residual (non-partition) filters are applied as a Spark filter so
-        results are exact regardless of pruning."""
+        results are exact regardless of pruning. Merge-on-read delete files
+        are applied per the spec's sequence rules: position deletes drop
+        rows of data files with sequence_number <= the delete's, equality
+        deletes those with sequence_number < the delete's. With
+        ``_with_lineage`` the frame keeps ``__fp__``/``__pos__``/``__seq__``
+        (normalized file path, row index, data sequence number) — the
+        position-delete writer's input."""
         entries = self.scan_files(snapshot_id, filters)
         md = self.metadata()
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
@@ -909,8 +1038,17 @@ class NativeIcebergTable:
         schema = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
         struct = _ice_schema_to_struct(schema)
         part_order = [c for c, _ in self.partition_columns()]
+        deletes = self.scan_deletes(snapshot_id)
+        with_meta = _with_lineage or bool(deletes)
+        meta_cols = ["__fp__", "__pos__", "__seq__"] if with_meta else []
         if not entries:
-            return self.spark.createDataFrame([], struct)
+            out = self.spark.createDataFrame([], struct)
+            for c in meta_cols:
+                out = out.withColumn(
+                    c, F.lit(None).cast("string" if c == "__fp__" else "long"))
+            return out
+        seq_by_path = {e["data_file"]["file_path"]: e["sequence_number"]
+                       for e in entries}
         groups: dict[tuple, list[str]] = {}
         for e in entries:
             key = tuple(e["data_file"]["partition"].get(c) for c in part_order)
@@ -923,27 +1061,77 @@ class NativeIcebergTable:
             # (additively-evolved) schemas; columns a file predates read
             # back as null, per the Iceberg evolution contract
             df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            if with_meta:
+                df = df.withColumn(
+                    "__fp__",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+                ).withColumn("__pos__", F.col("_metadata.row_index"))
             for c, v in zip(part_order, key):
                 df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
             for f in struct.fields:
                 if f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            parts.append(df.select(*[f.name for f in struct.fields]))
+            parts.append(df.select(*[f.name for f in struct.fields],
+                                   *(["__fp__", "__pos__"] if with_meta else [])))
+        seed = self.spark.createDataFrame([], struct)
+        if with_meta:
+            seed = seed.withColumn("__fp__", F.lit(None).cast("string"))
+            seed = seed.withColumn("__pos__", F.lit(None).cast("long"))
         # seed with an empty frame of the DECLARED schema: union nullability
         # is the OR of its branches, so literal partition columns read back
         # with the schema's nullability instead of lit()'s non-null
-        out = reduce(DataFrame.unionByName,
-                     [self.spark.createDataFrame([], struct), *parts])
+        out = reduce(DataFrame.unionByName, [seed, *parts])
+        if with_meta:
+            # data-file sequence numbers: metadata-sized map, broadcast join
+            seq_df = self.spark.createDataFrame(
+                [(p, s) for p, s in seq_by_path.items()],
+                "__sfp__ string, __seq__ long")
+            out = (out.join(F.broadcast(seq_df),
+                            out["__fp__"] == seq_df["__sfp__"], "left")
+                   .drop("__sfp__"))
+        out = self._apply_deletes(out, deletes, schema)
+        if not _with_lineage:
+            for c in meta_cols:
+                out = out.drop(c)
         flt = self._normalize_filters(filters)
         residual = {c: f for c, f in flt.items() if c not in part_order}
-        for c, (op, bound) in residual.items():
-            col = F.col(c)
-            if op == "in":
-                cond = col.isin(list(bound))
-            else:
-                cond = {"=": col.__eq__, "<": col.__lt__, "<=": col.__le__,
-                        ">": col.__gt__, ">=": col.__ge__}[op](bound)
-            out = out.where(cond)
+        if residual:
+            out = out.where(self._filter_condition(residual))
+        return out
+
+    def _apply_deletes(self, out: DataFrame, deletes: list[dict],
+                       schema: dict) -> DataFrame:
+        """Anti-join merge-on-read delete files against the scan frame."""
+        if not deletes:
+            return out
+        pos = [e for e in deletes if e["data_file"]["content"] == 1]
+        eq = [e for e in deletes if e["data_file"]["content"] == 2]
+        if pos:
+            dels = []
+            for e in pos:
+                d = self.spark.read.parquet(e["data_file"]["file_path"])
+                dels.append(d.select(
+                    F.col("file_path").alias("__dfp__"),
+                    F.col("pos").alias("__dpos__"),
+                    F.lit(e["sequence_number"]).alias("__dseq__")))
+            del_df = reduce(DataFrame.unionByName, dels)
+            out = out.join(
+                del_df,
+                (out["__fp__"] == del_df["__dfp__"])
+                & (out["__pos__"] == del_df["__dpos__"])
+                & (out["__seq__"] <= del_df["__dseq__"]),
+                "left_anti")
+        if eq:
+            fields_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+            for e in eq:
+                cols = [fields_by_id[i] for i in e["data_file"]["equality_ids"]]
+                d = self.spark.read.parquet(e["data_file"]["file_path"])
+                d = d.select(*[F.col(c).alias(f"__eq_{c}__") for c in cols])
+                cond = F.lit(True)
+                for c in cols:
+                    cond = cond & out[c].eqNullSafe(d[f"__eq_{c}__"])
+                cond = cond & (out["__seq__"] < F.lit(e["sequence_number"]))
+                out = out.join(d, cond, "left_anti")
         return out
 
 
