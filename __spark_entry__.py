@@ -952,6 +952,26 @@ def q_iceberg_scan(spark, sf_dir):
         "doc_id", "lang", "n_chars")
 
 
+def q_iceberg_mor_delete(spark, sf_dir):
+    """Merge-on-read deletes on the correctness board: documents -> Iceberg
+    table (partitioned by lang) -> a POSITION delete file for lang='zh'
+    (written from Spark's _metadata.row_index; data files NOT rewritten)
+    -> an EQUALITY delete for one doc_id -> scan. The oracle applies the
+    same predicates to the source parquet, so green proves both delete
+    shapes drop exactly the right rows and nothing else."""
+    import tempfile
+
+    from text_dedup_spark.sources.iceberg import NativeIcebergTable
+
+    loc = tempfile.mkdtemp(prefix="ice_mor_contract_") + "/t"
+    t = NativeIcebergTable(spark, loc)
+    t.create(_docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+             partition_by=["lang"])
+    t.delete_where({"lang": "zh"}, mode="position")
+    t.delete_where({"doc_id": 7}, mode="equality")
+    return t.read().select("doc_id", "lang", "n_chars")
+
+
 # --- contract ----------------------------------------------------------------
 
 
@@ -1008,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_container_parity": q_image_container_parity,
         "format_sniff_audit": q_format_sniff_audit,
         "iceberg_scan": q_iceberg_scan,
+        "iceberg_mor_delete": q_iceberg_mor_delete,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
         "image_fidelity": q_image_fidelity,
@@ -1033,6 +1054,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE lang = 'en' AND doc_id < 150
+        """,
+        # iceberg_mor_delete: Spark side routes documents through an
+        # Iceberg table with a merge-on-read position delete (lang='zh')
+        # and an equality delete (doc_id=7); the oracle is the inverse
+        # predicate on the source parquet.
+        "iceberg_mor_delete": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE lang <> 'zh' AND doc_id <> 7
         """,
         # image_fidelity is a WITNESS query over the deterministic synthetic
         # image table (200 rows, seed 42): the expected result is exactly one
