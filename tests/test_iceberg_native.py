@@ -674,3 +674,69 @@ def test_mor_modes_agree_with_copy_on_write(spark, tmp_path):
             (r["id"], r["caption"], r["lang"]) for r in t.read().collect())
     assert results["position"] == results["copy-on-write"]
     assert results["equality"] == results["copy-on-write"]
+
+
+# --------------------------------------------- 10. bucket transform
+
+
+def test_murmur3_spec_vectors():
+    """Iceberg spec Appendix B pins the hash variant and serialization:
+    int and long 34 hash identically (8-byte LE), 'iceberg' as UTF-8."""
+    import numpy as np
+
+    from text_dedup_spark.sources.murmur3 import (
+        iceberg_hash,
+        murmur3_32,
+        murmur3_32_long,
+    )
+
+    assert iceberg_hash(34, "int") == 2017239379
+    assert iceberg_hash(34, "long") == 2017239379
+    assert iceberg_hash("iceberg", "string") == 1210000089
+    # vectorized long path == scalar reference on edge values
+    import struct as _s
+
+    vals = np.array([0, 34, -1, 2**62, -(2**62), 123456789], dtype=np.int64)
+    assert list(murmur3_32_long(vals)) == [
+        murmur3_32(_s.pack("<q", int(v))) for v in vals]
+
+
+def test_bucket_transform_write_prune_read(spark, tmp_path):
+    from text_dedup_spark.sources.murmur3 import iceberg_bucket
+
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    df = _docs_df(spark, n=60)
+    t.create(df, partition_by=["lang", "bucket(8, id)"])
+    back = t.read()
+    assert back.schema == df.schema  # bucket source column stays in files
+    assert sorted(r["id"] for r in back.collect()) == list(range(60))
+    spec = t.metadata()["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("lang", "identity"), ("id_bucket", "bucket[8]")]
+    # point lookup prunes to the one bucket (and = filter stays exact)
+    all_e = t.scan_files()
+    one = t.scan_files(filters={"id": 34})
+    assert 0 < len(one) < len(all_e)
+    b34 = iceberg_bucket(34, "long", 8)
+    assert all(e["data_file"]["partition"]["id_bucket"] == b34 for e in one)
+    got = t.read(filters={"id": 34})
+    assert [r["id"] for r in got.collect()] == [34]
+    # in-filter translates to a bucket set; range ops don't prune buckets
+    got2 = t.read(filters={"id": ("in", [3, 34, 9999])})
+    assert sorted(r["id"] for r in got2.collect()) == [3, 34]
+    assert t.read(filters={"id": ("<", 10)}).count() == 10
+    # appends inherit the spec; MOR deletes compose with bucketing
+    t.append(_docs_df(spark, n=6, offset=1000))
+    assert t.read().count() == 66
+    assert t.delete_where({"id": ("<", 5)}, mode="position") == 5
+    assert t.read().count() == 61
+
+
+def test_catalog_write_bucketed_is_real_bucket_spec(spark, tmp_path):
+    cat = NativeIcebergCatalog(spark, str(tmp_path / "wh"))
+    cat.write_bucketed(_docs_df(spark, n=40), "t", "id", n_buckets=4)
+    t = NativeIcebergTable(spark, cat.path("t"))
+    spec = t.metadata()["partition-specs"][0]["fields"]
+    assert spec[0]["transform"] == "bucket[4]"
+    assert cat.read_bucketed("t").count() == 40
+    assert not cat.is_bucketed("t")  # no exchange-free join contract claimed

@@ -43,10 +43,16 @@ plus `compact` (rewrite_data_files analog, purges delete files),
 `expire_snapshots` (reachability GC), and a batch-id-idempotent
 streaming sink (streaming/iceberg_sink.py).
 
+Partition transforms: identity, plus bucket[N] both directions —
+`partition_by=["lang", "bucket(8, id)"]` computes spec-exact murmur3
+buckets (sources/murmur3.py, vectorized for int/long; Appendix B test
+vectors pinned) at write, and point/`in` filters on the SOURCE column
+prune to the matching bucket files at plan time.
+
 Out of scope (documented, not silently wrong): column drops/renames/
-type changes, non-identity transforms (bucket/truncate/date) on the
-WRITE path, and multi-writer commit races (HadoopCatalog's atomic-rename
-caveat applies; single writer assumed, as in the staged pipelines).
+type changes, truncate/date transforms on the WRITE path, and
+multi-writer commit races (HadoopCatalog's atomic-rename caveat
+applies; single writer assumed, as in the staged pipelines).
 
 At 100 TB: planning is metadata-bounded — manifests are read on the
 driver (like Iceberg's own planning), each manifest row is ~100 bytes,
@@ -59,12 +65,14 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re as _re
 import struct
 import time
 import urllib.parse
 import uuid as _uuid
 from functools import reduce
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -165,6 +173,71 @@ def _strip_ids(t):
             {"name": f["name"], "required": f.get("required", False),
              "type": _strip_ids(f["type"])} for f in t["fields"]]}
     return t
+
+
+_BUCKET_RE = _re.compile(r"^bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
+_BUCKETABLE = ("int", "long", "date", "string", "binary")
+
+
+def _parse_partition_by(partition_by, by_name: dict) -> list[dict]:
+    """Partition spec entries from user strings: a bare column name is an
+    identity transform; ``bucket(N, col)`` is the bucket transform (field
+    named ``<col>_bucket``, int tuple values from spec-exact murmur3)."""
+    out = []
+    for p in partition_by or []:
+        m = _BUCKET_RE.match(p)
+        if m:
+            n, col = int(m.group(1)), m.group(2)
+            if n < 1:
+                raise ValueError(f"bucket count must be >= 1 in {p!r}")
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in schema")
+            t = by_name[col]["type"]
+            if not isinstance(t, str) or t not in _BUCKETABLE:
+                raise ValueError(
+                    f"bucket transform unsupported for column type {t!r}")
+            out.append({"field_name": f"{col}_bucket", "transform": f"bucket[{n}]",
+                        "source": col, "source_type": t, "tuple_type": "int",
+                        "n": n})
+        else:
+            if p not in by_name:
+                raise ValueError(f"partition column {p!r} not in schema")
+            t = by_name[p]["type"]
+            if not isinstance(t, str):
+                raise ValueError("partition columns must be primitive-typed")
+            out.append({"field_name": p, "transform": "identity",
+                        "source": p, "source_type": t, "tuple_type": t,
+                        "n": None})
+    return out
+
+
+def _bucket_column(col: str, ice_type: str, n: int):
+    """Spark Column computing Iceberg bucket[N] of a source column
+    (Arrow-batched; the long path is numpy-vectorized)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .murmur3 import iceberg_bucket, iceberg_bucket_longs
+
+    if ice_type in ("int", "long", "date"):
+
+        @pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            mask = s.notna()
+            out = pd.Series([pd.NA] * len(s), dtype="Int32")
+            if mask.any():
+                out[mask] = iceberg_bucket_longs(
+                    s[mask].to_numpy(np.int64), n)
+            return out
+
+    else:
+
+        @pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: pd.NA if v is None else iceberg_bucket(v, ice_type, n))
+
+    return _bucket(F.col(col))
 
 
 def _single_value_bytes(ice_type: str, v) -> bytes:
@@ -344,8 +417,9 @@ class NativeIcebergTable:
                       if s["schema-id"] == md["current-schema-id"])
         return _ice_schema_to_struct(schema)
 
-    def partition_columns(self) -> list[tuple[str, str]]:
-        """[(name, iceberg_type)] of the default identity partition spec."""
+    def partition_spec_fields(self) -> list[dict]:
+        """The default partition spec as parse-shape field dicts (the
+        identity/bucket plumbing's common currency)."""
         md = self.metadata()
         spec = next(s for s in md["partition-specs"]
                     if s["spec-id"] == md["default-spec-id"])
@@ -354,11 +428,37 @@ class NativeIcebergTable:
         by_id = {f["id"]: f for f in schema["fields"]}
         out = []
         for pf in spec["fields"]:
-            if pf["transform"] != "identity":
-                raise ValueError(
-                    f"non-identity transform {pf['transform']!r} not supported")
             src = by_id[pf["source-id"]]
-            out.append((src["name"], src["type"]))
+            m = _re.match(r"^bucket\[(\d+)\]$", pf["transform"])
+            if pf["transform"] == "identity":
+                out.append({"field_name": pf["name"], "transform": "identity",
+                            "source": src["name"], "source_type": src["type"],
+                            "tuple_type": src["type"], "n": None})
+            elif m:
+                out.append({"field_name": pf["name"],
+                            "transform": pf["transform"],
+                            "source": src["name"], "source_type": src["type"],
+                            "tuple_type": "int", "n": int(m.group(1))})
+            else:
+                raise ValueError(
+                    f"unsupported transform {pf['transform']!r}")
+        return out
+
+    def partition_columns(self) -> list[tuple[str, str]]:
+        """[(source_name, iceberg_type)] of IDENTITY partition fields — the
+        columns whose values are re-attached from the tuple at read time."""
+        return [(pf["source"], pf["source_type"])
+                for pf in self.partition_spec_fields()
+                if pf["transform"] == "identity"]
+
+    def partition_by_strings(self) -> list[str]:
+        """The spec re-expressed as create()-style partition_by strings."""
+        out = []
+        for pf in self.partition_spec_fields():
+            if pf["transform"] == "identity":
+                out.append(pf["source"])
+            else:
+                out.append(f"bucket({pf['n']}, {pf['source']})")
         return out
 
     # -- write path -------------------------------------------------------
@@ -396,21 +496,27 @@ class NativeIcebergTable:
                  for n in sorted(fields)]
         return lower, upper
 
-    def _stage_data(self, df: DataFrame, partition_by: list[str] | None,
+    def _stage_data(self, df: DataFrame, pfields: list[dict] | None,
                     seq: int, fields_by_name: dict | None = None) -> list[dict]:
-        """Write parquet via Spark, return manifest data_file records."""
+        """Write parquet via Spark, return manifest data_file records.
+        Bucket transform fields are computed (spec-exact murmur3) into
+        columns named like the partition field; Spark's partitionBy drops
+        exactly those from the files, so identity source columns come back
+        from the tuple and bucket SOURCE columns stay in the data."""
         data_dir = os.path.join(self.location, "data", f"s{seq:05d}")
+        pfields = pfields or []
+        for pf in pfields:
+            if pf["transform"] != "identity":
+                df = df.withColumn(
+                    pf["field_name"],
+                    _bucket_column(pf["source"], pf["source_type"], pf["n"]))
         w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        if pfields:
+            w = w.partitionBy(*[pf["field_name"] for pf in pfields])
         w.parquet(data_dir)
         import pyarrow.parquet as pq
 
-        part_types = {}
-        for f in df.schema.fields:
-            for cls, name in _SPARK_TO_ICE.items():
-                if isinstance(f.dataType, cls):
-                    part_types[f.name] = name
+        part_types = {pf["field_name"]: pf["tuple_type"] for pf in pfields}
         files = []
         for root, _dirs, names in os.walk(data_dir):
             for fn in sorted(names):
@@ -419,7 +525,7 @@ class NativeIcebergTable:
                 p = os.path.join(root, fn)
                 rel = os.path.relpath(root, data_dir)
                 part: dict = {}
-                if partition_by:
+                if pfields:
                     segs = [s for s in rel.split(os.sep) if "=" in s]
                     for seg in segs:
                         k, _, raw = seg.partition("=")
@@ -433,7 +539,8 @@ class NativeIcebergTable:
                                 else float(raw) if t in ("float", "double")
                                 else raw == "true" if t == "boolean"
                                 else raw)
-                    part = {c: part.get(c) for c in partition_by}
+                    part = {pf["field_name"]: part.get(pf["field_name"])
+                            for pf in pfields}
                 meta = pq.ParquetFile(p).metadata
                 if meta.num_rows == 0:
                     os.remove(p)  # empty task output; Iceberg commits no
@@ -567,7 +674,7 @@ class NativeIcebergTable:
             seq = md["last-sequence-number"] + 1
             parent = md.get("current-snapshot-id")
             if partition_by is None and operation != "overwrite":
-                partition_by = [c for c, _ in self.partition_columns()] or None
+                partition_by = self.partition_by_strings() or None
 
         if md is None:
             ids = _IdGen()
@@ -578,22 +685,18 @@ class NativeIcebergTable:
         else:
             schema, schemas, last_column_id = self._evolve_schema(md, df)
         by_name = {f["name"]: f for f in schema["fields"]}
-        part_by = list(partition_by or [])
-        for c in part_by:
-            if c not in by_name:
-                raise ValueError(f"partition column {c!r} not in schema")
-        part_cols = [(c, by_name[c]["type"]) for c in part_by]
-        if not all(isinstance(t, str) for _, t in part_cols):
-            raise ValueError("partition columns must be primitive-typed")
+        pfields = _parse_partition_by(partition_by, by_name)
+        part_by = [pf["field_name"] for pf in pfields]
+        part_cols = [(pf["field_name"], pf["tuple_type"]) for pf in pfields]
         spec = {"spec-id": 0, "fields": [
-            {"name": c, "transform": "identity",
-             "source-id": by_name[c]["id"], "field-id": 1000 + i}
-            for i, c in enumerate(part_by)
+            {"name": pf["field_name"], "transform": pf["transform"],
+             "source-id": by_name[pf["source"]]["id"], "field-id": 1000 + i}
+            for i, pf in enumerate(pfields)
         ]}
 
         snapshot_id = int.from_bytes(
             hashlib.sha1(f"{table_uuid}:{seq}".encode()).digest()[:8], "big") >> 1
-        files = self._stage_data(df, part_by or None, seq, by_name)
+        files = self._stage_data(df, pfields or None, seq, by_name)
         manifests = []
         if files:
             manifests.append(self._write_manifest(files, snapshot_id, seq, part_cols))
@@ -678,7 +781,7 @@ class NativeIcebergTable:
             self.create(df, partition_by)
             return
         if partition_by is None:
-            partition_by = [c for c, _ in self.partition_columns()] or None
+            partition_by = self.partition_by_strings() or None
         self._commit(df, partition_by, "overwrite")
 
     # -- maintenance (the Iceberg actions surface) -------------------------
@@ -754,7 +857,8 @@ class NativeIcebergTable:
             content = 2
         import pyarrow.parquet as pq
 
-        part_cols = self.partition_columns()
+        part_cols = [(pf["field_name"], pf["tuple_type"])
+                     for pf in self.partition_spec_fields()]
         files = []
         for fn in sorted(os.listdir(ddir)):
             if not fn.endswith(".parquet"):
@@ -797,7 +901,7 @@ class NativeIcebergTable:
         files_after)."""
         before = len(self.scan_files())
         df = self.read()
-        part_cols = [c for c, _ in self.partition_columns()]
+        part_cols = [pf["source"] for pf in self.partition_spec_fields()]
         if part_cols:
             df = df.repartition(n_files, *[F.col(c) for c in part_cols])
         else:
@@ -916,15 +1020,36 @@ class NativeIcebergTable:
         snap = next((s for s in md["snapshots"] if s["snapshot-id"] == sid), None)
         if snap is None:
             raise ValueError(f"unknown snapshot id {sid}")
-        part_cols = dict(self.partition_columns())
         flt = self._normalize_filters(filters)
-        part_flt = {c: f for c, f in flt.items() if c in part_cols}
+        spec_fields = self.partition_spec_fields()
+        # translate source-column filters into partition-TUPLE predicates:
+        # identity fields carry them over; bucket fields translate = / in
+        # to the bucketed value(s) (range ops cannot prune a bucket)
+        part_flt: dict[str, tuple[str, object]] = {}
+        tuple_types: dict[str, str] = {}
+        for pf in spec_fields:
+            tuple_types[pf["field_name"]] = pf["tuple_type"]
+            if pf["source"] not in flt:
+                continue
+            op, bound = flt[pf["source"]]
+            if pf["transform"] == "identity":
+                part_flt[pf["field_name"]] = (op, bound)
+            else:
+                from .murmur3 import iceberg_bucket
+
+                if op == "=":
+                    part_flt[pf["field_name"]] = (
+                        "=", iceberg_bucket(bound, pf["source_type"], pf["n"]))
+                elif op == "in":
+                    part_flt[pf["field_name"]] = ("in", sorted(
+                        {iceberg_bucket(b, pf["source_type"], pf["n"])
+                         for b in bound}))
         schema = next(s for s in md["schemas"]
                       if s["schema-id"] == md["current-schema-id"])
         schema_by_name = {f["name"]: f for f in schema["fields"]}
 
         _, manifests, _ = read_avro_file(snap["manifest-list"])
-        part_order = [c for c, _ in self.partition_columns()]
+        part_order = [pf["field_name"] for pf in spec_fields]
         entries: list[dict] = []
         for m in manifests:
             summaries = m.get("partitions")
@@ -937,8 +1062,8 @@ class NativeIcebergTable:
                     s = summaries[i]
                     if s["lower_bound"] is None:
                         continue
-                    lo = _single_value_parse(part_cols[c], s["lower_bound"])
-                    hi = _single_value_parse(part_cols[c], s["upper_bound"])
+                    lo = _single_value_parse(tuple_types[c], s["lower_bound"])
+                    hi = _single_value_parse(tuple_types[c], s["upper_bound"])
                     if op == "=" and not (lo <= bound <= hi):
                         skip = True
                     elif op in ("<", "<=") and not self._match(op, lo, bound):
@@ -1037,6 +1162,12 @@ class NativeIcebergTable:
         schema_id = snap.get("schema-id", md["current-schema-id"])
         schema = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
         struct = _ice_schema_to_struct(schema)
+        spec_fields = self.partition_spec_fields()
+        # grouping key covers the FULL tuple; only identity values become
+        # data columns (bucket sources stay inside the files themselves)
+        tuple_order = [pf["field_name"] for pf in spec_fields]
+        identity_fields = [pf["field_name"] for pf in spec_fields
+                           if pf["transform"] == "identity"]
         part_order = [c for c, _ in self.partition_columns()]
         deletes = self.scan_deletes(snapshot_id)
         with_meta = _with_lineage or bool(deletes)
@@ -1051,7 +1182,7 @@ class NativeIcebergTable:
                        for e in entries}
         groups: dict[tuple, list[str]] = {}
         for e in entries:
-            key = tuple(e["data_file"]["partition"].get(c) for c in part_order)
+            key = tuple(e["data_file"]["partition"].get(c) for c in tuple_order)
             groups.setdefault(key, []).append(e["data_file"]["file_path"])
         by_name = {f.name: f for f in struct.fields}
         parts = []
@@ -1066,8 +1197,9 @@ class NativeIcebergTable:
                     "__fp__",
                     F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
                 ).withColumn("__pos__", F.col("_metadata.row_index"))
-            for c, v in zip(part_order, key):
-                df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
+            for c, v in zip(tuple_order, key):
+                if c in identity_fields:
+                    df = df.withColumn(c, F.lit(v).cast(by_name[c].dataType))
             for f in struct.fields:
                 if f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -1175,7 +1307,16 @@ class NativeIcebergCatalog:
 
     def write_bucketed(self, df: DataFrame, name: str,
                        keys: list[str] | str, n_buckets: int = 32) -> None:
-        self.write(df, name)
+        """Real Iceberg bucket[N] partition transform (spec-exact murmur3)
+        — the same storage contract IcebergCatalog declares via F.bucket.
+        Point lookups on the key prune to one bucket's files; is_bucketed
+        stays False because Spark's plain parquet reader cannot turn this
+        into exchange-free joins without the runtime jar's storage-
+        partitioned-join support (the staged pipelines then re-shuffle,
+        which is correct, just not exchange-free)."""
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        self._tbl(name).overwrite(
+            df, partition_by=[f"bucket({n_buckets}, {k})" for k in keys])
 
     def read_bucketed(self, name: str) -> DataFrame:
         return self.read(name)
