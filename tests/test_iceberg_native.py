@@ -740,3 +740,79 @@ def test_catalog_write_bucketed_is_real_bucket_spec(spark, tmp_path):
     assert spec[0]["transform"] == "bucket[4]"
     assert cat.read_bucketed("t").count() == 40
     assert not cat.is_bucketed("t")  # no exchange-free join contract claimed
+
+
+# ------------------------------------------------ incremental append scan
+
+
+def test_incremental_read_returns_only_the_delta(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=10), partition_by=["lang"])
+    s1 = t.current_snapshot()["snapshot-id"]
+    t.append(_docs_df(spark, n=5, offset=100))
+    s2 = t.current_snapshot()["snapshot-id"]
+    t.append(_docs_df(spark, n=5, offset=200))
+    # (s1, current]: the two appends, not the initial 10
+    got = sorted(r["id"] for r in t.read_incremental(s1).collect())
+    assert got == list(range(100, 105)) + list(range(200, 205))
+    # (s1, s2]: just the middle append
+    got2 = sorted(r["id"] for r in t.read_incremental(s1, s2).collect())
+    assert got2 == list(range(100, 105))
+    # from None = since table creation = full append history
+    assert t.read_incremental(None).count() == 20
+    # empty range
+    cur = t.current_snapshot()["snapshot-id"]
+    assert t.read_incremental(cur).count() == 0
+
+
+def test_incremental_read_prunes_and_filters(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=9), partition_by=["lang"])
+    s1 = t.current_snapshot()["snapshot-id"]
+    t.append(_docs_df(spark, n=9, offset=100))
+    # partition filter prunes at plan time; residual filter stays exact
+    got = t.read_incremental(s1, filters={"lang": "en", "id": ("<", 104)})
+    rows = sorted(r["id"] for r in got.collect())
+    assert rows == [100, 103]  # en rows below 104 in the delta only
+
+
+def test_incremental_read_skips_replace_raises_on_overwrite(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=4, langs=("en",)))
+    s1 = t.current_snapshot()["snapshot-id"]
+    for i in range(1, 4):
+        t.append(_docs_df(spark, n=1, offset=10 * i, langs=("en",)))
+    t.compact(n_files=1)  # REPLACE snapshot: same rows, new layout
+    t.append(_docs_df(spark, n=1, offset=999, langs=("en",)))
+    # the compaction is skipped: delta = the three 1-row appends + post-
+    # compact append, with no double-read of rewritten rows
+    got = sorted(r["id"] for r in t.read_incremental(s1).collect())
+    assert got == [10, 20, 30, 999]
+    # full read still sees everything once
+    assert t.read().count() == 8
+    # overwrite/delete in range cannot be represented as appended rows
+    t.overwrite(_docs_df(spark, n=2, offset=500, langs=("en",)))
+    with pytest.raises(ValueError, match="non-append"):
+        t.read_incremental(s1)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.read_incremental(123456789)
+
+
+def test_incremental_read_catalog_checkpoint_loop(spark, tmp_path):
+    """The stage-B consumption pattern: fold deltas, checkpoint the
+    snapshot id, never rescan history."""
+    cat = NativeIcebergCatalog(spark, str(tmp_path / "wh"))
+    cat.append(_docs_df(spark, n=6), "docs")
+    seen: list[int] = []
+    mark = None
+    for batch in range(3):
+        delta = cat.read_incremental("docs", mark)
+        seen.extend(r["id"] for r in delta.collect())
+        mark = cat.current_snapshot_id("docs")
+        cat.append(_docs_df(spark, n=2, offset=1000 + 10 * batch), "docs")
+    # every row consumed exactly once across the loop
+    delta = cat.read_incremental("docs", mark)
+    seen.extend(r["id"] for r in delta.collect())
+    assert sorted(seen) == sorted(
+        list(range(6)) + [1000, 1001, 1010, 1011, 1020, 1021])
+    assert len(seen) == len(set(seen))

@@ -165,3 +165,37 @@ def test_incremental_dedup_merges_old_clusters(spark, tmp_path):
 
     full = stage_dedup(cat, ["old", "newds"], clusters_table="clusters_full")
     assert got == {(r[ID], r["component"]) for r in full.collect()}
+
+
+def test_snapshot_incremental_dedup_equals_full(spark, tmp_path):
+    """Snapshot-checkpointed Stage B over ONE growing Iceberg bands table
+    (stage_dedup_incremental_snapshot): each fold consumes exactly the
+    appended delta (read_incremental) against a time-travel read of the
+    already-folded history, and the final assignments are bit-equal to a
+    full stage_dedup over all band checkpoints."""
+    from text_dedup_spark.operators.ids import max_id
+    from text_dedup_spark.plans.staged import (
+        stage_dedup,
+        stage_dedup_incremental_snapshot,
+        stage_hash,
+    )
+    from text_dedup_spark.sources.iceberg import NativeIcebergCatalog
+
+    corpus = synth_corpus(150, seed=13)
+    cfg = MinHashConfig(num_perm=64)
+    cat = NativeIcebergCatalog(spark, str(tmp_path / "wh"))
+    third = len(corpus) // 3
+    batches = [corpus[:third], corpus[third: 2 * third], corpus[2 * third:]]
+    start, mark, inc = 0, None, None
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame([(t,) for _, t in batch], "text string")
+        stage_hash(cat, df, "text", cfg, f"d{i}", start_id=start)
+        start = max_id(cat.read(withid_name(f"d{i}")), ID) + 1
+        cat.append(cat.read(bands_name(f"d{i}")), "bands")
+        to = cat.current_snapshot_id("bands")
+        inc = stage_dedup_incremental_snapshot(cat, mark, to_snapshot_id=to)
+        mark = to
+    inc_set = {(r[ID], r["component"]) for r in inc.collect()}
+    full = stage_dedup(cat, ["d0", "d1", "d2"], clusters_table="clusters_full")
+    full_set = {(r[ID], r["component"]) for r in full.collect()}
+    assert inc_set == full_set and len(inc_set) > 0

@@ -142,22 +142,75 @@ def stage_dedup_incremental(
     corpus. The old band checkpoints are still scanned once (narrow
     columns) to find hit-bucket members; the prior assignment table
     re-enters CC as edges (O(duplicates), << corpus)."""
+    bands_new = catalog.read_many([bands_name(ds) for ds in new_datasets])
+    bands_old = catalog.read_many([bands_name(ds) for ds in old_datasets])
+    return _fold_new_bands(
+        catalog, bands_old, bands_new, ",".join(new_datasets), run_id,
+        clusters_table, hot_threshold, bucket_by_id)
+
+
+def stage_dedup_incremental_snapshot(
+    catalog,
+    since_snapshot_id: int | None,
+    run_id: str | None = None,
+    bands_table: str = "bands",
+    clusters_table: str = "clusters",
+    hot_threshold: int | None = None,
+    bucket_by_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Snapshot-checkpointed Stage B for a SINGLE growing bands table
+    (NativeIcebergCatalog backends): old bands = time-travel read at the
+    last folded snapshot, new bands = the incremental append scan since it
+    — no per-dataset band checkpoints, no rescan of consumed history at
+    plan time (planning opens only the new appends' manifests).
+
+    The consumption loop is: append freshly hashed bands to
+    ``bands_table``; pin ``to = catalog.current_snapshot_id(bands_table)``;
+    fold ``(since, to]``; checkpoint ``to``. Pinning ``to`` makes the fold
+    immune to appends racing in behind it. Exactness matches
+    ``stage_dedup_incremental`` — same fold core, proven bit-equal to a
+    full ``stage_dedup`` in tests."""
+    if to_snapshot_id is None:
+        to_snapshot_id = catalog.current_snapshot_id(bands_table)
+    bands_new = catalog.read_incremental(
+        bands_table, since_snapshot_id, to_snapshot_id)
+    if since_snapshot_id is None:
+        bands_old = bands_new.limit(0)
+    else:
+        bands_old = catalog.read_at(bands_table, since_snapshot_id)
+    return _fold_new_bands(
+        catalog, bands_old, bands_new,
+        f"{bands_table}@({since_snapshot_id},{to_snapshot_id}]", run_id,
+        clusters_table, hot_threshold, bucket_by_id)
+
+
+def _fold_new_bands(
+    catalog,
+    bands_old: DataFrame,
+    bands_new: DataFrame,
+    source_desc: str,
+    run_id: str | None,
+    clusters_table: str,
+    hot_threshold: int | None,
+    bucket_by_id: int | None,
+) -> DataFrame:
     run_id = run_id or uuid.uuid4().hex
     t = Timer()
     with t("dedup_inc"):
-        bands_new = catalog.read_many([bands_name(ds) for ds in new_datasets])
-        bands_old = catalog.read_many([bands_name(ds) for ds in old_datasets])
         hit = bands_new.select("band", "band_hash").distinct()
         relevant = bands_old.join(hit, ["band", "band_hash"], "left_semi").unionByName(
             bands_new.select(*bands_old.columns)
         )
         new_edges = candidate_edges(relevant, ID, hot_threshold=hot_threshold)
-        prev = (catalog.read_bucketed if catalog.is_bucketed(clusters_table)
-                else catalog.read)(clusters_table)
-        prev_edges = prev.select(
-            F.col(ID).alias("src"), F.col("component").alias("dst")
-        )
-        assignments = connected_components(new_edges.unionByName(prev_edges), ID)
+        if catalog.exists(clusters_table):
+            prev = (catalog.read_bucketed if catalog.is_bucketed(clusters_table)
+                    else catalog.read)(clusters_table)
+            edges = new_edges.unionByName(prev.select(
+                F.col(ID).alias("src"), F.col("component").alias("dst")))
+        else:  # first fold of a fresh corpus: nothing to carry
+            edges = new_edges
+        assignments = connected_components(edges, ID)
         # overwrite-in-place would drop the old table before the plan that
         # reads it runs: stage through a temp checkpoint, then swap
         tmp = f"{clusters_table}__incoming"
@@ -169,7 +222,7 @@ def stage_dedup_incremental(
             catalog.write(catalog.read(tmp), clusters_table)
     out = (catalog.read_bucketed if bucket_by_id else catalog.read)(clusters_table)
     log_metric(
-        catalog, run_id, "dedup_inc", ",".join(new_datasets),
+        catalog, run_id, "dedup_inc", source_desc,
         bands_new.count(), out.count(), t.elapsed_times["dedup_inc"],
     )
     log_partition_lineage(catalog, run_id, "dedup_inc", out)

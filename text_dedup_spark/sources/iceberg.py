@@ -906,7 +906,10 @@ class NativeIcebergTable:
             df = df.repartition(n_files, *[F.col(c) for c in part_cols])
         else:
             df = df.repartition(n_files)
-        self.overwrite(df)
+        # spec semantics: rewrite_data_files commits a REPLACE snapshot
+        # (same logical rows, new physical layout) — incremental append
+        # scans skip it instead of double-reading the rewritten rows
+        self._commit(df, self.partition_by_strings() or None, "replace")
         return before, len(self.scan_files())
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -1020,6 +1023,14 @@ class NativeIcebergTable:
         snap = next((s for s in md["snapshots"] if s["snapshot-id"] == sid), None)
         if snap is None:
             raise ValueError(f"unknown snapshot id {sid}")
+        _, manifests, _ = read_avro_file(snap["manifest-list"])
+        return self._prune_entries(md, manifests, filters)
+
+    def _prune_entries(self, md: dict, manifests: list[dict],
+                       filters: dict | None) -> list[dict]:
+        """Shared planning core: ADDED/EXISTING data-file entries from the
+        given manifests, pruned at the manifest level (field summaries) and
+        the entry level (partition tuples + file column bounds)."""
         flt = self._normalize_filters(filters)
         spec_fields = self.partition_spec_fields()
         # translate source-column filters into partition-TUPLE predicates:
@@ -1047,8 +1058,6 @@ class NativeIcebergTable:
         schema = next(s for s in md["schemas"]
                       if s["schema-id"] == md["current-schema-id"])
         schema_by_name = {f["name"]: f for f in schema["fields"]}
-
-        _, manifests, _ = read_avro_file(snap["manifest-list"])
         part_order = [pf["field_name"] for pf in spec_fields]
         entries: list[dict] = []
         for m in manifests:
@@ -1161,6 +1170,105 @@ class NativeIcebergTable:
         # time travel reads with the SNAPSHOT's schema (Iceberg semantics)
         schema_id = snap.get("schema-id", md["current-schema-id"])
         schema = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+        deletes = self.scan_deletes(snapshot_id)
+        with_meta = _with_lineage or bool(deletes)
+        out = self._load_entries(entries, schema, with_meta)
+        out = self._apply_deletes(out, deletes, schema)
+        if not _with_lineage:
+            for c in ("__fp__", "__pos__", "__seq__"):
+                if c in out.columns:
+                    out = out.drop(c)
+        flt = self._normalize_filters(filters)
+        part_order = [c for c, _ in self.partition_columns()]
+        residual = {c: f for c, f in flt.items() if c not in part_order}
+        if residual:
+            out = out.where(self._filter_condition(residual))
+        return out
+
+    def snapshots_between(self, from_snapshot_id: int | None,
+                          to_snapshot_id: int | None = None) -> list[dict]:
+        """Ancestor-chain snapshots in ``(from, to]``, oldest first. ``from``
+        None means table creation (the full history up to ``to``). Raises if
+        ``from`` is not an ancestor of ``to`` (e.g. it was expired or sits
+        on a divergent branch) — silent gaps would drop data."""
+        md = self.metadata()
+        to_sid = (md["current-snapshot-id"] if to_snapshot_id is None
+                  else to_snapshot_id)
+        by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+        chain: list[dict] = []
+        cur = to_sid
+        while cur is not None and cur != from_snapshot_id:
+            s = by_id.get(cur)
+            if s is None:
+                raise ValueError(
+                    f"snapshot {cur} missing from history (expired?) while "
+                    f"walking from {to_sid} back to {from_snapshot_id}")
+            chain.append(s)
+            cur = s.get("parent-snapshot-id")
+        if cur != from_snapshot_id:
+            raise ValueError(
+                f"{from_snapshot_id} is not an ancestor of {to_sid}")
+        chain.reverse()
+        return chain
+
+    def read_incremental(self, from_snapshot_id: int | None,
+                         to_snapshot_id: int | None = None,
+                         filters: dict | None = None) -> DataFrame:
+        """Incremental append scan: rows ADDED by snapshots strictly after
+        ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default
+        current). This is the streaming/stage-B feed — each micro-batch
+        reads only the new files, never rescanning history.
+
+        Semantics match Iceberg's incremental read (Spark
+        ``start-snapshot-id`` option): only ``append`` snapshots contribute;
+        ``replace`` snapshots (compaction) are SKIPPED — they rewrite
+        physical layout, not logical rows, so reading their manifests would
+        double-count prior appends; ``overwrite``/``delete`` snapshots in
+        the range raise, because appended-rows-only cannot represent row
+        removal (callers should full-read at the new snapshot instead).
+        Planning cost is per-NEW-manifest only: each append's manifest list
+        is filtered to ``added_snapshot_id == that append`` before any
+        manifest file is opened."""
+        md = self.metadata()
+        chain = self.snapshots_between(from_snapshot_id, to_snapshot_id)
+        entries: list[dict] = []
+        for s in chain:
+            op = s.get("summary", {}).get("operation", "append")
+            if op == "replace":
+                continue
+            if op != "append":
+                raise ValueError(
+                    f"incremental read crosses non-append snapshot "
+                    f"{s['snapshot-id']} (operation={op}); run a full read "
+                    f"at that snapshot instead")
+            _, manifests, _ = read_avro_file(s["manifest-list"])
+            mine = [m for m in manifests
+                    if m["added_snapshot_id"] == s["snapshot-id"]
+                    and m.get("content", 0) == 0]
+            entries.extend(
+                e for e in self._prune_entries(md, mine, filters)
+                if e["status"] == 1
+                and e.get("snapshot_id") == s["snapshot-id"])
+        # incremental reads surface appended rows as-of their append: the
+        # TO snapshot's schema governs (same rule as time travel)
+        to_sid = (md["current-snapshot-id"] if to_snapshot_id is None
+                  else to_snapshot_id)
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == to_sid)
+        schema_id = snap.get("schema-id", md["current-schema-id"])
+        schema = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+        out = self._load_entries(entries, schema, with_meta=False)
+        flt = self._normalize_filters(filters)
+        part_order = [c for c, _ in self.partition_columns()]
+        residual = {c: f for c, f in flt.items() if c not in part_order}
+        if residual:
+            out = out.where(self._filter_condition(residual))
+        return out
+
+    def _load_entries(self, entries: list[dict], schema: dict,
+                      with_meta: bool) -> DataFrame:
+        """Materialize planned manifest entries as a DataFrame: one parquet
+        load per live partition tuple, identity values re-attached as typed
+        literals, optional ``__fp__``/``__pos__``/``__seq__`` lineage."""
         struct = _ice_schema_to_struct(schema)
         spec_fields = self.partition_spec_fields()
         # grouping key covers the FULL tuple; only identity values become
@@ -1168,9 +1276,6 @@ class NativeIcebergTable:
         tuple_order = [pf["field_name"] for pf in spec_fields]
         identity_fields = [pf["field_name"] for pf in spec_fields
                            if pf["transform"] == "identity"]
-        part_order = [c for c, _ in self.partition_columns()]
-        deletes = self.scan_deletes(snapshot_id)
-        with_meta = _with_lineage or bool(deletes)
         meta_cols = ["__fp__", "__pos__", "__seq__"] if with_meta else []
         if not entries:
             out = self.spark.createDataFrame([], struct)
@@ -1221,14 +1326,6 @@ class NativeIcebergTable:
             out = (out.join(F.broadcast(seq_df),
                             out["__fp__"] == seq_df["__sfp__"], "left")
                    .drop("__sfp__"))
-        out = self._apply_deletes(out, deletes, schema)
-        if not _with_lineage:
-            for c in meta_cols:
-                out = out.drop(c)
-        flt = self._normalize_filters(filters)
-        residual = {c: f for c, f in flt.items() if c not in part_order}
-        if residual:
-            out = out.where(self._filter_condition(residual))
         return out
 
     def _apply_deletes(self, out: DataFrame, deletes: list[dict],
@@ -1301,6 +1398,23 @@ class NativeIcebergCatalog:
 
     def read_many(self, names: list[str]) -> DataFrame:
         return reduce(DataFrame.unionByName, [self.read(n) for n in names])
+
+    def read_at(self, name: str, snapshot_id: int) -> DataFrame:
+        """Time-travel read: the table as of ``snapshot_id``."""
+        return self._tbl(name).read(snapshot_id=snapshot_id)
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        snap = self._tbl(name).current_snapshot()
+        return None if snap is None else snap["snapshot-id"]
+
+    def read_incremental(self, name: str, from_snapshot_id: int | None,
+                         to_snapshot_id: int | None = None,
+                         filters: dict | None = None) -> DataFrame:
+        """Appended rows since ``from_snapshot_id`` — the incremental
+        stage-B feed: checkpoint the snapshot id after each fold, read
+        only the delta next time."""
+        return self._tbl(name).read_incremental(
+            from_snapshot_id, to_snapshot_id, filters)
 
     def exists(self, name: str) -> bool:
         return self._tbl(name).exists()
