@@ -816,3 +816,110 @@ def test_incremental_read_catalog_checkpoint_loop(spark, tmp_path):
     assert sorted(seen) == sorted(
         list(range(6)) + [1000, 1001, 1010, 1011, 1020, 1021])
     assert len(seen) == len(set(seen))
+
+
+# ------------------------------------------- truncate + temporal transforms
+
+
+def test_truncate_transform_write_prune_read(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    df = _docs_df(spark, n=60)
+    t.create(df, partition_by=["truncate(20, id)"])
+    back = t.read()
+    assert back.schema == df.schema  # source column stays in the files
+    assert sorted(r["id"] for r in back.collect()) == list(range(60))
+    spec = t.metadata()["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("id_trunc", "truncate[20]")]
+    # truncate is order-preserving: range filters prune files
+    all_e = t.scan_files()
+    lo = t.scan_files(filters={"id": ("<", 15)})
+    assert 0 < len(lo) < len(all_e)
+    assert all(e["data_file"]["partition"]["id_trunc"] == 0 for e in lo)
+    assert sorted(r["id"] for r in
+                  t.read(filters={"id": ("<", 15)}).collect()) == list(range(15))
+    assert t.read(filters={"id": (">=", 41)}).count() == 19
+    assert [r["id"] for r in t.read(filters={"id": 34}).collect()] == [34]
+
+
+def test_truncate_string_transform(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    rows = [(i, w) for i, w in enumerate(
+        ["alpha", "alert", "beta", "bet", "gamma", "go", "", "zz"])]
+    df = spark.createDataFrame(rows, "id long, word string")
+    t.create(df, partition_by=["truncate(2, word)"])
+    got = sorted((r["id"], r["word"]) for r in t.read().collect())
+    assert got == sorted(rows)  # incl. the empty string round-tripping
+    pruned = t.scan_files(filters={"word": "bet"})
+    assert 0 < len(pruned) < len(t.scan_files())
+    assert all(e["data_file"]["partition"]["word_trunc"] == "be"
+               for e in pruned)
+    assert sorted(r["word"] for r in
+                  t.read(filters={"word": ("in", ["bet", "go"])}).collect()
+                  ) == ["bet", "go"]
+    # empty-string bound: pruning is skipped, result still exact
+    assert [r["id"] for r in t.read(filters={"word": ""}).collect()] == [6]
+
+
+def test_temporal_transforms_write_prune_read(spark, tmp_path):
+    import datetime as dt
+
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    days = [dt.date(2023, 1, 1) + dt.timedelta(days=30 * i) for i in range(14)]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(days)], "id long, d date")
+    t.create(df, partition_by=["month(d)"])
+    spec = t.metadata()["partition-specs"][0]["fields"]
+    assert [(f["name"], f["transform"]) for f in spec] == [("d_month", "month")]
+    # spec ordinal: months since 1970-01 (2023-01 -> 636)
+    e = t.scan_files(filters={"d": dt.date(2023, 1, 15)})
+    assert len(e) > 0
+    assert all(x["data_file"]["partition"]["d_month"] == 636 for x in e)
+    got = t.read(filters={"d": ("<", dt.date(2023, 3, 1))})
+    assert sorted(r["id"] for r in got.collect()) == [0, 1]  # jan 1, jan 31
+    assert 0 < len(t.scan_files(filters={"d": ("<", dt.date(2023, 3, 1))})) \
+        < len(t.scan_files())
+    # day transform on a date column: ordinal = days since epoch
+    t2 = NativeIcebergTable(spark, str(tmp_path / "t2"))
+    t2.create(df, partition_by=["day(d)"])
+    e2 = t2.scan_files(filters={"d": dt.date(2023, 1, 1)})
+    assert all(x["data_file"]["partition"]["d_day"] == 19358 for x in e2)
+    assert t2.read(filters={"d": dt.date(2023, 1, 31)}).count() == 1
+    # year on dates
+    t3 = NativeIcebergTable(spark, str(tmp_path / "t3"))
+    t3.create(df, partition_by=["year(d)"])
+    assert {x["data_file"]["partition"]["d_year"]
+            for x in t3.scan_files()} == {53, 54}  # 2023, 2024
+    assert t3.read(filters={"d": (">=", dt.date(2024, 1, 1))}).count() == \
+        sum(d >= dt.date(2024, 1, 1) for d in days)
+
+
+def test_hour_transform_on_timestamps(spark, tmp_path):
+    import datetime as dt
+
+    tz = dt.timezone.utc
+    base = dt.datetime(2023, 5, 1, 0, 30, tzinfo=tz)
+    stamps = [base + dt.timedelta(minutes=45 * i) for i in range(8)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stamps)], "id long, ts timestamp")
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(df, partition_by=["hour(ts)"])
+    # hour ordinal is epoch-based, timezone-independent
+    expect0 = int(base.timestamp() // 3600)
+    assert expect0 in {x["data_file"]["partition"]["ts_hour"]
+                       for x in t.scan_files()}
+    # tz-AWARE bound prunes; read-back rows match a plain filter
+    got = t.read(filters={"ts": ("<", base + dt.timedelta(hours=2))})
+    assert got.count() == sum(
+        s < base + dt.timedelta(hours=2) for s in stamps)
+    assert 0 < len(t.scan_files(
+        filters={"ts": ("<", base + dt.timedelta(hours=2))})) \
+        < len(t.scan_files())
+    # naive bound: pruning skipped (plan keeps all files), read exact
+    naive = dt.datetime(2023, 5, 1, 2, 30)
+    assert len(t.scan_files(filters={"ts": ("<", naive)})) == \
+        len(t.scan_files())
+    # timestamp year/month are rejected (session-tz-dependent)
+    with pytest.raises(ValueError, match="unsupported"):
+        NativeIcebergTable(spark, str(tmp_path / "bad")).create(
+            df, partition_by=["month(ts)"])

@@ -177,12 +177,27 @@ def _strip_ids(t):
 
 _BUCKET_RE = _re.compile(r"^bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
 _BUCKETABLE = ("int", "long", "date", "string", "binary")
+_TRUNC_RE = _re.compile(r"^truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
+_TRUNCATABLE = ("int", "long", "string")
+_TEMPORAL_RE = _re.compile(r"^(year|month|day|hour)\(\s*(\w+)\s*\)$")
+# spec result types: year/month/hour -> int ordinals since epoch; day is
+# date in the spec but stored as its int day-ordinal here (the tuple is
+# never surfaced as a data column, only matched against transformed bounds)
+_TEMPORAL_SOURCES = {
+    "year": ("date",), "month": ("date",),
+    "day": ("date", "timestamptz"), "hour": ("timestamptz",),
+}
 
 
 def _parse_partition_by(partition_by, by_name: dict) -> list[dict]:
     """Partition spec entries from user strings: a bare column name is an
-    identity transform; ``bucket(N, col)`` is the bucket transform (field
-    named ``<col>_bucket``, int tuple values from spec-exact murmur3)."""
+    identity transform; ``bucket(N, col)`` the bucket transform (field
+    ``<col>_bucket``, spec-exact murmur3); ``truncate(W, col)`` the
+    truncate transform (int/long floor-to-W, string W-char prefix);
+    ``year(col)``/``month(col)`` (date sources), ``day(col)`` (date or
+    timestamp), ``hour(col)`` (timestamp) the temporal transforms as
+    epoch ordinals. Timestamp year/month are rejected rather than
+    silently computed in the session timezone."""
     out = []
     for p in partition_by or []:
         m = _BUCKET_RE.match(p)
@@ -199,15 +214,46 @@ def _parse_partition_by(partition_by, by_name: dict) -> list[dict]:
             out.append({"field_name": f"{col}_bucket", "transform": f"bucket[{n}]",
                         "source": col, "source_type": t, "tuple_type": "int",
                         "n": n})
-        else:
-            if p not in by_name:
-                raise ValueError(f"partition column {p!r} not in schema")
-            t = by_name[p]["type"]
-            if not isinstance(t, str):
-                raise ValueError("partition columns must be primitive-typed")
-            out.append({"field_name": p, "transform": "identity",
-                        "source": p, "source_type": t, "tuple_type": t,
+            continue
+        m = _TRUNC_RE.match(p)
+        if m:
+            w, col = int(m.group(1)), m.group(2)
+            if w < 1:
+                raise ValueError(f"truncate width must be >= 1 in {p!r}")
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in schema")
+            t = by_name[col]["type"]
+            if not isinstance(t, str) or t not in _TRUNCATABLE:
+                raise ValueError(
+                    f"truncate transform unsupported for column type {t!r}")
+            out.append({"field_name": f"{col}_trunc",
+                        "transform": f"truncate[{w}]",
+                        "source": col, "source_type": t, "tuple_type": t,
+                        "n": w})
+            continue
+        m = _TEMPORAL_RE.match(p)
+        if m:
+            kind, col = m.group(1), m.group(2)
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in schema")
+            t = by_name[col]["type"]
+            if not isinstance(t, str) or t not in _TEMPORAL_SOURCES[kind]:
+                raise ValueError(
+                    f"{kind} transform unsupported for column type {t!r} "
+                    f"(supported: {_TEMPORAL_SOURCES[kind]}; timestamp "
+                    f"year/month would be session-timezone-dependent)")
+            out.append({"field_name": f"{col}_{kind}", "transform": kind,
+                        "source": col, "source_type": t, "tuple_type": "int",
                         "n": None})
+            continue
+        if p not in by_name:
+            raise ValueError(f"partition column {p!r} not in schema")
+        t = by_name[p]["type"]
+        if not isinstance(t, str):
+            raise ValueError("partition columns must be primitive-typed")
+        out.append({"field_name": p, "transform": "identity",
+                    "source": p, "source_type": t, "tuple_type": t,
+                    "n": None})
     return out
 
 
@@ -238,6 +284,72 @@ def _bucket_column(col: str, ice_type: str, n: int):
                 lambda v: pd.NA if v is None else iceberg_bucket(v, ice_type, n))
 
     return _bucket(F.col(col))
+
+
+def _transform_column(pf: dict):
+    """Spark Column computing the partition-tuple value of a non-identity
+    transform field (the write path's tuple materializer)."""
+    tr, col, t = pf["transform"], pf["source"], pf["source_type"]
+    c = F.col(col)
+    if tr.startswith("bucket["):
+        return _bucket_column(col, t, pf["n"])
+    if tr.startswith("truncate["):
+        w = pf["n"]
+        if t == "string":
+            return F.substring(c, 1, w)
+        # spec: v - (v mod W) with floor mod -> pmod keeps negatives right
+        return (c - F.pmod(c, F.lit(w))).cast("int" if t == "int" else "long")
+    if tr == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if tr == "month":
+        return ((F.year(c) - F.lit(1970)) * 12 + F.month(c) - 1).cast("int")
+    if tr == "day":
+        if t == "date":
+            return F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast("int")
+        # timestamps are epoch instants internally: tz-independent floor.
+        # double keeps ~us precision out to year 2100+ at day granularity
+        return F.floor(c.cast("double") / 86400.0).cast("int")
+    if tr == "hour":
+        return F.floor(c.cast("double") / 3600.0).cast("int")
+    raise ValueError(f"unsupported transform {tr!r}")
+
+
+def _transform_value(pf: dict, v):
+    """Python-side twin of _transform_column for PLAN-time filter
+    translation. Returns None when the bound cannot be translated
+    faithfully (e.g. a naive datetime, whose Spark interpretation is
+    session-timezone-dependent) — callers then skip pruning on this field
+    and the residual filter keeps results exact."""
+    import datetime as _dt
+
+    tr, t = pf["transform"], pf["source_type"]
+    if v is None:
+        return None
+    if tr.startswith("bucket["):
+        from .murmur3 import iceberg_bucket
+
+        return iceberg_bucket(v, t, pf["n"])
+    if tr.startswith("truncate["):
+        w = pf["n"]
+        if t == "string":
+            # "" round-trips as the hive default (null) partition dir, so
+            # an empty truncated bound cannot be matched against tuples:
+            # skip pruning (residual filter keeps the read exact)
+            return str(v)[:w] or None
+        return int(v) - (int(v) % w)  # Python % is floor-mod for w > 0
+    if tr in ("year", "month"):
+        if not isinstance(v, _dt.date) or isinstance(v, _dt.datetime):
+            return None
+        return (v.year - 1970 if tr == "year"
+                else (v.year - 1970) * 12 + v.month - 1)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            return None  # session-tz-dependent: cannot translate safely
+        secs = v.timestamp()
+        return int(secs // (86400 if tr == "day" else 3600))
+    if tr == "day" and isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
 
 
 def _single_value_bytes(ice_type: str, v) -> bytes:
@@ -429,16 +541,27 @@ class NativeIcebergTable:
         out = []
         for pf in spec["fields"]:
             src = by_id[pf["source-id"]]
-            m = _re.match(r"^bucket\[(\d+)\]$", pf["transform"])
+            mb = _re.match(r"^bucket\[(\d+)\]$", pf["transform"])
+            mt = _re.match(r"^truncate\[(\d+)\]$", pf["transform"])
             if pf["transform"] == "identity":
                 out.append({"field_name": pf["name"], "transform": "identity",
                             "source": src["name"], "source_type": src["type"],
                             "tuple_type": src["type"], "n": None})
-            elif m:
+            elif mb:
                 out.append({"field_name": pf["name"],
                             "transform": pf["transform"],
                             "source": src["name"], "source_type": src["type"],
-                            "tuple_type": "int", "n": int(m.group(1))})
+                            "tuple_type": "int", "n": int(mb.group(1))})
+            elif mt:
+                out.append({"field_name": pf["name"],
+                            "transform": pf["transform"],
+                            "source": src["name"], "source_type": src["type"],
+                            "tuple_type": src["type"], "n": int(mt.group(1))})
+            elif pf["transform"] in ("year", "month", "day", "hour"):
+                out.append({"field_name": pf["name"],
+                            "transform": pf["transform"],
+                            "source": src["name"], "source_type": src["type"],
+                            "tuple_type": "int", "n": None})
             else:
                 raise ValueError(
                     f"unsupported transform {pf['transform']!r}")
@@ -455,10 +578,15 @@ class NativeIcebergTable:
         """The spec re-expressed as create()-style partition_by strings."""
         out = []
         for pf in self.partition_spec_fields():
-            if pf["transform"] == "identity":
+            tr = pf["transform"]
+            if tr == "identity":
                 out.append(pf["source"])
-            else:
+            elif tr.startswith("bucket["):
                 out.append(f"bucket({pf['n']}, {pf['source']})")
+            elif tr.startswith("truncate["):
+                out.append(f"truncate({pf['n']}, {pf['source']})")
+            else:
+                out.append(f"{tr}({pf['source']})")
         return out
 
     # -- write path -------------------------------------------------------
@@ -507,9 +635,7 @@ class NativeIcebergTable:
         pfields = pfields or []
         for pf in pfields:
             if pf["transform"] != "identity":
-                df = df.withColumn(
-                    pf["field_name"],
-                    _bucket_column(pf["source"], pf["source_type"], pf["n"]))
+                df = df.withColumn(pf["field_name"], _transform_column(pf))
         w = df.write.mode("overwrite")
         if pfields:
             w = w.partitionBy(*[pf["field_name"] for pf in pfields])
@@ -1045,16 +1171,36 @@ class NativeIcebergTable:
             op, bound = flt[pf["source"]]
             if pf["transform"] == "identity":
                 part_flt[pf["field_name"]] = (op, bound)
-            else:
-                from .murmur3 import iceberg_bucket
-
+            elif pf["transform"].startswith("bucket["):
+                # bucket is not order-preserving: only = / in translate
                 if op == "=":
-                    part_flt[pf["field_name"]] = (
-                        "=", iceberg_bucket(bound, pf["source_type"], pf["n"]))
+                    tv = _transform_value(pf, bound)
+                    if tv is not None:
+                        part_flt[pf["field_name"]] = ("=", tv)
                 elif op == "in":
-                    part_flt[pf["field_name"]] = ("in", sorted(
-                        {iceberg_bucket(b, pf["source_type"], pf["n"])
-                         for b in bound}))
+                    tvs = {_transform_value(pf, b) for b in bound}
+                    if None not in tvs:
+                        part_flt[pf["field_name"]] = ("in", sorted(tvs))
+            else:
+                # truncate/temporal are monotonic: ranges translate, with
+                # strict ops widened to inclusive (v < X admits tuples
+                # EQUAL to T(X)); residual filters keep results exact
+                if op == "=":
+                    tv = _transform_value(pf, bound)
+                    if tv is not None:
+                        part_flt[pf["field_name"]] = ("=", tv)
+                elif op == "in":
+                    tvs = {_transform_value(pf, b) for b in bound}
+                    if None not in tvs:
+                        part_flt[pf["field_name"]] = ("in", sorted(tvs))
+                elif op in ("<", "<="):
+                    tv = _transform_value(pf, bound)
+                    if tv is not None:
+                        part_flt[pf["field_name"]] = ("<=", tv)
+                elif op in (">", ">="):
+                    tv = _transform_value(pf, bound)
+                    if tv is not None:
+                        part_flt[pf["field_name"]] = (">=", tv)
         schema = next(s for s in md["schemas"]
                       if s["schema-id"] == md["current-schema-id"])
         schema_by_name = {f["name"]: f for f in schema["fields"]}
