@@ -923,3 +923,76 @@ def test_hour_transform_on_timestamps(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported"):
         NativeIcebergTable(spark, str(tmp_path / "bad")).create(
             df, partition_by=["month(ts)"])
+
+
+# ------------------------------------------------ optimistic multi-writer
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Six writers race one table: every append must land exactly once
+    (CAS on the metadata version + append rebase-and-retry)."""
+    import threading
+
+    loc = str(tmp_path / "t")
+    NativeIcebergTable(spark, loc).create(_docs_df(spark, n=1, offset=9000))
+    barrier = threading.Barrier(6)
+    errs: list[Exception] = []
+
+    def _writer(i: int):
+        try:
+            t = NativeIcebergTable(spark, loc)  # independent handle
+            df = _docs_df(spark, n=1, offset=i)
+            barrier.wait()
+            t.append(df)
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=_writer, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    t = NativeIcebergTable(spark, loc)
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3, 4, 5, 9000]
+    assert len(t.snapshots()) == 7
+    # history is a single linear parent chain (each rebase re-parented)
+    assert len(t.snapshots_between(None)) == 7
+    # incremental consumers see every append exactly once
+    first = t.snapshots_between(None)[0]["snapshot-id"]
+    assert sorted(r["id"] for r in t.read_incremental(first).collect()) == \
+        [0, 1, 2, 3, 4, 5]
+
+
+def test_append_rebases_after_losing_cas(spark, tmp_path):
+    from text_dedup_spark.sources.iceberg import CommitConflict
+
+    loc = str(tmp_path / "t")
+    t = NativeIcebergTable(spark, loc)
+    t.create(_docs_df(spark, n=2))
+    other = NativeIcebergTable(spark, loc)
+    # deterministically lose the race: another commit lands between this
+    # append's manifest write and its CAS
+    t._commit(_docs_df(spark, n=1, offset=50), None, "append",
+              _test_pre_cas=lambda: other.append(_docs_df(spark, n=1, offset=60)))
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [0, 1, 50, 60]
+    # non-append operations surface the conflict instead of rebasing
+    with pytest.raises(CommitConflict, match="overwrite"):
+        t._commit(_docs_df(spark, n=1, offset=70), None, "overwrite",
+                  _test_pre_cas=lambda: other.append(
+                      _docs_df(spark, n=1, offset=80)))
+
+
+def test_version_hint_is_advisory(spark, tmp_path):
+    """A writer crashing between the metadata CAS and the hint update (or
+    losing the hint race) must not hide its commit: readers probe forward."""
+    loc = str(tmp_path / "t")
+    t = NativeIcebergTable(spark, loc)
+    t.create(_docs_df(spark, n=1))
+    t.append(_docs_df(spark, n=1, offset=10))
+    v = t.current_version()
+    with open(t._hint_path(), "w") as f:
+        f.write("1")  # stale hint
+    assert NativeIcebergTable(spark, loc).current_version() == v
+    assert NativeIcebergTable(spark, loc).read().count() == 2

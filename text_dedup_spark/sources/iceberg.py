@@ -485,8 +485,22 @@ _MANIFEST_FILE_SCHEMA = {
 # ----------------------------------------------------------- the table
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed first and the operation cannot be
+    rebased automatically (appends rebase and retry; overwrite/delete/
+    maintenance commits surface the conflict for revalidation)."""
+
+
 class NativeIcebergTable:
-    """An Iceberg v2 table at a filesystem location, no runtime jar."""
+    """An Iceberg v2 table at a filesystem location, no runtime jar.
+
+    Concurrency: commits are optimistic. The metadata-file write is a
+    compare-and-swap (O_CREAT|O_EXCL on ``v{N+1}.metadata.json`` — atomic
+    on POSIX filesystems); appends that lose the race rebase onto the
+    winner's snapshot and retry without restaging data files, any other
+    operation raises :class:`CommitConflict`. The version hint is advisory
+    — readers probe forward past it, so a writer crashing between the CAS
+    and the hint write cannot wedge the table."""
 
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
@@ -505,7 +519,13 @@ class NativeIcebergTable:
 
     def current_version(self) -> int:
         with open(self._hint_path()) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        # the hint is advisory under concurrency: probe forward so a lost
+        # hint-update race (or a crash before it) never hides a commit
+        while os.path.exists(
+                os.path.join(self._meta_dir(), f"v{v + 1}.metadata.json")):
+            v += 1
+        return v
 
     def metadata(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -625,13 +645,16 @@ class NativeIcebergTable:
         return lower, upper
 
     def _stage_data(self, df: DataFrame, pfields: list[dict] | None,
-                    seq: int, fields_by_name: dict | None = None) -> list[dict]:
+                    seq: int, fields_by_name: dict | None = None,
+                    token: str | None = None) -> list[dict]:
         """Write parquet via Spark, return manifest data_file records.
         Bucket transform fields are computed (spec-exact murmur3) into
         columns named like the partition field; Spark's partitionBy drops
         exactly those from the files, so identity source columns come back
         from the tuple and bucket SOURCE columns stay in the data."""
-        data_dir = os.path.join(self.location, "data", f"s{seq:05d}")
+        data_dir = os.path.join(
+            self.location, "data",
+            f"s{seq:05d}" + (f"-{token}" if token else ""))
         pfields = pfields or []
         for pf in pfields:
             if pf["transform"] != "identity":
@@ -783,58 +806,109 @@ class NativeIcebergTable:
 
     def _commit(self, df: DataFrame, partition_by: list[str] | None,
                 operation: str,
-                summary_extra: dict[str, str] | None = None) -> None:
+                summary_extra: dict[str, str] | None = None,
+                _test_pre_cas=None) -> None:
+        token = _uuid.uuid4().hex[:8]
         creating = not self.exists()
         if creating:
             os.makedirs(self._meta_dir(), exist_ok=True)
-            table_uuid = str(_uuid.uuid5(_uuid.NAMESPACE_URL,
-                                         "iceberg:" + self.location))
-            version = 0
-            md = None
-            seq = 1
-            parent = None
-        else:
-            md = self.metadata()
-            version = self.current_version()
-            table_uuid = md["table-uuid"]
-            seq = md["last-sequence-number"] + 1
-            parent = md.get("current-snapshot-id")
-            if partition_by is None and operation != "overwrite":
-                partition_by = self.partition_by_strings() or None
+        md0 = None if creating else self.metadata()
+        if md0 is not None and partition_by is None and operation != "overwrite":
+            partition_by = self.partition_by_strings() or None
 
-        if md is None:
-            ids = _IdGen()
-            schema = _struct_to_ice(df.schema, ids)
-            schema["schema-id"] = 0
-            schemas = [schema]
-            last_column_id = ids.last
-        else:
-            schema, schemas, last_column_id = self._evolve_schema(md, df)
+        def _resolve(md):
+            """Schema/spec against a given metadata state (rebase-safe)."""
+            if md is None:
+                ids = _IdGen()
+                schema = _struct_to_ice(df.schema, ids)
+                schema["schema-id"] = 0
+                return schema, [schema], ids.last
+            return self._evolve_schema(md, df)
+
+        schema, schemas, last_column_id = _resolve(md0)
         by_name = {f["name"]: f for f in schema["fields"]}
         pfields = _parse_partition_by(partition_by, by_name)
         part_by = [pf["field_name"] for pf in pfields]
         part_cols = [(pf["field_name"], pf["tuple_type"]) for pf in pfields]
-        spec = {"spec-id": 0, "fields": [
-            {"name": pf["field_name"], "transform": pf["transform"],
-             "source-id": by_name[pf["source"]]["id"], "field-id": 1000 + i}
-            for i, pf in enumerate(pfields)
-        ]}
 
-        snapshot_id = int.from_bytes(
-            hashlib.sha1(f"{table_uuid}:{seq}".encode()).digest()[:8], "big") >> 1
-        files = self._stage_data(df, pfields or None, seq, by_name)
-        manifests = []
-        if files:
-            manifests.append(self._write_manifest(files, snapshot_id, seq, part_cols))
-        if operation == "append" and md is not None:
-            cur = self.current_snapshot()
-            if cur is not None:
-                _, old_manifests, _ = read_avro_file(cur["manifest-list"])
-                manifests.extend(old_manifests)
+        # stage data ONCE (the expensive Spark write); the directory is
+        # token-unique so racing writers can never clobber each other's
+        # parquet files even when they guess the same sequence number
+        seq_guess = 1 if md0 is None else md0["last-sequence-number"] + 1
+        files = self._stage_data(df, pfields or None, seq_guess, by_name,
+                                 token=token)
 
-        self._finalize(md, version, table_uuid, seq, parent, snapshot_id,
-                       manifests, operation, summary_extra, schema, schemas,
-                       last_column_id, spec, part_by)
+        for _attempt in range(10):
+            md = None if not self.exists() else self.metadata()
+            # re-resolve against the (possibly moved) current state: cheap,
+            # driver-side, and makes rebased appends see the winner's schema
+            schema, schemas, last_column_id = _resolve(md)
+            by_name = {f["name"]: f for f in schema["fields"]}
+            table_uuid = (md["table-uuid"] if md is not None else str(
+                _uuid.uuid5(_uuid.NAMESPACE_URL, "iceberg:" + self.location)))
+            version = 0 if md is None else self.current_version()
+            seq = 1 if md is None else md["last-sequence-number"] + 1
+            parent = None if md is None else md.get("current-snapshot-id")
+            spec = {"spec-id": 0, "fields": [
+                {"name": pf["field_name"], "transform": pf["transform"],
+                 "source-id": by_name[pf["source"]]["id"], "field-id": 1000 + i}
+                for i, pf in enumerate(pfields)
+            ]}
+            # token-salted so concurrent writers at the same seq can never
+            # mint the same snapshot id
+            snapshot_id = int.from_bytes(hashlib.sha1(
+                f"{table_uuid}:{seq}:{token}".encode()).digest()[:8],
+                "big") >> 1
+            manifests = []
+            if files:
+                manifests.append(
+                    self._write_manifest(files, snapshot_id, seq, part_cols))
+            if operation == "append" and md is not None:
+                cur = md.get("current-snapshot-id")
+                snap = next((s for s in md.get("snapshots", [])
+                             if s["snapshot-id"] == cur), None)
+                if snap is not None:
+                    _, old_manifests, _ = read_avro_file(snap["manifest-list"])
+                    manifests.extend(old_manifests)
+            if _test_pre_cas is not None:
+                _test_pre_cas()
+                _test_pre_cas = None  # fire once
+            try:
+                self._finalize(md, version, table_uuid, seq, parent,
+                               snapshot_id, manifests, operation,
+                               summary_extra, schema, schemas,
+                               last_column_id, spec, part_by)
+                return
+            except CommitConflict:
+                if operation != "append":
+                    raise CommitConflict(
+                        f"concurrent commit beat this {operation!r}; "
+                        f"re-plan against the new snapshot and retry")
+                continue  # rebase the append and try again
+        raise CommitConflict("append gave up after 10 rebase attempts")
+
+    def _write_metadata_cas(self, new_md: dict, version: int) -> None:
+        """Commit point: create ``v{version+1}.metadata.json`` atomically,
+        exactly-once (write a token-unique temp, hard-link into place —
+        link(2) fails with EEXIST if a concurrent writer won). The version
+        hint update after it is advisory (readers probe forward)."""
+        new_version = version + 1
+        md_path = os.path.join(self._meta_dir(),
+                               f"v{new_version}.metadata.json")
+        tmp = f"{md_path}.{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_md, f, indent=1)
+        try:
+            os.link(tmp, md_path)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {new_version} already committed") from None
+        finally:
+            os.remove(tmp)
+        tmp = self._hint_path() + f".{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(tmp, self._hint_path())
 
     def _finalize(self, md, version, table_uuid, seq, parent, snapshot_id,
                   manifests, operation, summary_extra, schema, schemas,
@@ -881,16 +955,7 @@ class NativeIcebergTable:
                      self._meta_dir(), f"v{version}.metadata.json")}]
                if md else []),
         }
-        new_version = version + 1
-        md_path = os.path.join(self._meta_dir(), f"v{new_version}.metadata.json")
-        tmp = md_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_md, f, indent=1)
-        os.replace(tmp, md_path)
-        tmp = self._hint_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(tmp, self._hint_path())
+        self._write_metadata_cas(new_md, version)
 
     def create(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         if self.exists():
@@ -1097,16 +1162,7 @@ class NativeIcebergTable:
         new_md["snapshot-log"] = [e for e in md.get("snapshot-log", [])
                                   if e["snapshot-id"] in keep_ids]
         new_md["last-updated-ms"] = now_ms
-        new_version = version + 1
-        md_path = os.path.join(self._meta_dir(), f"v{new_version}.metadata.json")
-        tmp = md_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_md, f, indent=1)
-        os.replace(tmp, md_path)
-        tmp = self._hint_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(tmp, self._hint_path())
+        self._write_metadata_cas(new_md, version)
         return {"snapshots_removed": len(removed),
                 "data_files_deleted": n_data,
                 "manifests_deleted": n_manifest}
