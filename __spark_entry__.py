@@ -972,6 +972,29 @@ def q_iceberg_mor_delete(spark, sf_dir):
     return t.read().select("doc_id", "lang", "n_chars")
 
 
+def q_iceberg_incremental(spark, sf_dir):
+    """Incremental append scan on the correctness board: documents land in
+    an Iceberg table as THREE append snapshots (doc_id < 200, 200-399,
+    >= 400); the query reads the delta since the first snapshot with a
+    partition filter. The oracle is the same predicate on the source
+    parquet, so green proves the delta covers exactly the rows of appends
+    2+3 — nothing re-read from snapshot 1, nothing dropped, and partition
+    pruning composes with incremental planning."""
+    import tempfile
+
+    from text_dedup_spark.sources.iceberg import NativeIcebergTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    loc = tempfile.mkdtemp(prefix="ice_inc_contract_") + "/t"
+    t = NativeIcebergTable(spark, loc)
+    t.create(docs.where(F.col("doc_id") < 200), partition_by=["lang"])
+    s1 = t.current_snapshot()["snapshot-id"]
+    t.append(docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)))
+    t.append(docs.where(F.col("doc_id") >= 400))
+    return t.read_incremental(s1, filters={"lang": "en"}).select(
+        "doc_id", "lang", "n_chars")
+
+
 # --- contract ----------------------------------------------------------------
 
 
@@ -1029,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_sniff_audit": q_format_sniff_audit,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_mor_delete": q_iceberg_mor_delete,
+        "iceberg_incremental": q_iceberg_incremental,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
         "image_fidelity": q_image_fidelity,
@@ -1063,6 +1087,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE lang <> 'zh' AND doc_id <> 7
+        """,
+        # iceberg_incremental: Spark side lands documents as three append
+        # snapshots and reads the delta since snapshot 1 with a lang
+        # filter; the oracle is the same row set from the source parquet.
+        "iceberg_incremental": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE doc_id >= 200 AND lang = 'en'
         """,
         # image_fidelity is a WITNESS query over the deterministic synthetic
         # image table (200 rows, seed 42): the expected result is exactly one
