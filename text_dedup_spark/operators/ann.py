@@ -127,27 +127,24 @@ def _collapse_identical_vectors(
     ``member_cap``: keep only the cap smallest member ids per group (for
     top-k expansion only the k smallest ids of a tied group can ever make
     the cut, so expansion stays O(k) per candidate group).
+
+    One hash-aggregate shuffle total (partial agg map-side); reps and
+    members both project from it, so AQE reuses the exchange instead of
+    recomputing — this replaced a 3-window formulation whose unpartialled
+    sort exchanges tripled the stage count.
     """
-    w = Window.partitionBy(vec_col)
-    t = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.min(id_col).over(w).alias("rep"),
-    )
-    if member_cap is not None:
-        members = (
-            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-            .withColumn(
-                "__rnk__",
-                F.row_number().over(Window.partitionBy("v").orderBy("id")),
-            )
-            .where(F.col("__rnk__") <= member_cap)
-            .withColumn("rep", F.min("id").over(Window.partitionBy("v")))
-            .select("rep", "id")
+    grouped = (
+        df.groupBy(F.col(vec_col).alias("v"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids__"))
+        .select(
+            F.element_at("__ids__", 1).alias("rep"),
+            "v",
+            (F.slice("__ids__", 1, member_cap) if member_cap is not None
+             else F.col("__ids__")).alias("__member_ids__"),
         )
-    else:
-        members = t.select("rep", "id")
-    reps = t.where(F.col("id") == F.col("rep")).select(F.col("rep").alias("id"), "v")
+    )
+    reps = grouped.select(F.col("rep").alias("id"), "v")
+    members = grouped.select("rep", F.explode("__member_ids__").alias("id"))
     return reps, members
 
 
