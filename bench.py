@@ -110,7 +110,11 @@ def run_queries() -> dict:
     # regressed" from "the host was busy" — warm walls are phase-robust
     # because JIT/codegen/python-pool forks are already paid. The headline
     # `value` stays the cold pass for cross-round comparability.
-    warm_threshold = float(os.environ.get("SPARK_GRAFT_WARM_THRESHOLD", "75"))
+    # healthy-phase cold band is ~33-47 s at sf0.1; anything above 50 s has
+    # historically been hypervisor throttle (BENCH/PHASES.md), so append the
+    # phase-robust warm pass there too (was 75, which missed a measured
+    # 58 s throttle whose pinned-8-core twin ran 45 s)
+    warm_threshold = float(os.environ.get("SPARK_GRAFT_WARM_THRESHOLD", "50"))
     if total > warm_threshold:
         warm = {}
         for name in headline:
