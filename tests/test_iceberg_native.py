@@ -996,3 +996,60 @@ def test_version_hint_is_advisory(spark, tmp_path):
         f.write("1")  # stale hint
     assert NativeIcebergTable(spark, loc).current_version() == v
     assert NativeIcebergTable(spark, loc).read().count() == 2
+
+
+# --------------------------------------- metadata tables + orphan cleanup
+
+
+def test_metadata_tables(spark, tmp_path):
+    t = NativeIcebergTable(spark, str(tmp_path / "t"))
+    t.create(_docs_df(spark, n=30), partition_by=["lang"])
+    t.append(_docs_df(spark, n=10, offset=100))
+    snaps = t.snapshots_df().orderBy("sequence_number").collect()
+    assert [s["operation"] for s in snaps] == ["append", "append"]
+    assert snaps[0]["parent_id"] is None
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+    hist = t.history_df().collect()
+    assert len(hist) == 2 and all(h["is_current_ancestor"] for h in hist)
+    files = t.files_df().collect()
+    assert sum(f["record_count"] for f in files) == 40
+    assert all(f["file_format"] == "PARQUET" and "lang" in f["partition"]
+               for f in files)
+    parts = {tuple(sorted(p["partition"].items())): p["record_count"]
+             for p in t.partitions_df().collect()}
+    assert sum(parts.values()) == 40
+    assert parts[(("lang", "en"),)] == 14  # 10 of 30 + 4 of 10
+    # time travel: files of snapshot 1 only
+    f1 = t.files_df(snapshot_id=snaps[0]["snapshot_id"])
+    assert sum(f["record_count"] for f in f1.collect()) == 30
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    import glob
+
+    loc = str(tmp_path / "t")
+    t = NativeIcebergTable(spark, loc)
+    t.create(_docs_df(spark, n=4))
+    other = NativeIcebergTable(spark, loc)
+    # a CAS-losing append leaves its first-attempt manifest orphaned
+    t._commit(_docs_df(spark, n=1, offset=50), None, "append",
+              _test_pre_cas=lambda: other.append(_docs_df(spark, n=1, offset=60)))
+    # plus simulated crashed-writer debris in data/
+    debris = os.path.join(loc, "data", "s99999-deadbeef")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-00000.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    n_avro_before = len(glob.glob(os.path.join(loc, "metadata", "*.avro")))
+    stats = t.remove_orphan_files(older_than_s=0)
+    assert stats["data_files_deleted"] >= 1  # the debris
+    assert stats["metadata_files_deleted"] >= 1  # the losing manifest
+    assert not os.path.exists(os.path.join(debris, "part-00000.parquet"))
+    assert len(glob.glob(os.path.join(loc, "metadata", "*.avro"))) \
+        < n_avro_before
+    # every snapshot still fully readable afterwards (incl. time travel)
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3, 50, 60]
+    for s in t.snapshots():
+        t.read(snapshot_id=s["snapshot-id"]).count()
+    # idempotent
+    again = t.remove_orphan_files(older_than_s=0)
+    assert again == {"data_files_deleted": 0, "metadata_files_deleted": 0}

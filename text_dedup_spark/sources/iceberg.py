@@ -1103,6 +1103,104 @@ class NativeIcebergTable:
         self._commit(df, self.partition_by_strings() or None, "replace")
         return before, len(self.scan_files())
 
+    # -- inspection metadata tables (the <table>.snapshots/.files surface) --
+
+    def snapshots_df(self) -> DataFrame:
+        """The ``<table>.snapshots`` metadata table: one row per snapshot.
+        Driver-side metadata only (snapshot count, not data volume)."""
+        rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
+                 s["sequence-number"], s["timestamp-ms"],
+                 s.get("summary", {}).get("operation", "append"),
+                 s.get("schema-id"), s["manifest-list"])
+                for s in self.snapshots()]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, sequence_number long, "
+                  "committed_at_ms long, operation string, schema_id int, "
+                  "manifest_list string")
+
+    def history_df(self) -> DataFrame:
+        """The ``<table>.history`` metadata table: the snapshot log with
+        the is_current_ancestor flag (false = rolled-back branch)."""
+        md = self.metadata()
+        ancestors = {s["snapshot-id"]
+                     for s in self.snapshots_between(None)}
+        rows = [(e["timestamp-ms"], e["snapshot-id"],
+                 e["snapshot-id"] in ancestors)
+                for e in md.get("snapshot-log", [])]
+        return self.spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, "
+                  "is_current_ancestor boolean")
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.files`` metadata table: live data files of the
+        snapshot with partition tuples as a string map. Scales with file
+        count (plan metadata), not row count."""
+        entries = self.scan_files(snapshot_id)
+        rows = []
+        for e in entries:
+            d = e["data_file"]
+            rows.append((
+                d.get("content", 0), d["file_path"], d["file_format"],
+                {k: None if v is None else str(v)
+                 for k, v in d["partition"].items()},
+                d["record_count"], d["file_size_in_bytes"],
+                e.get("sequence_number"),
+            ))
+        return self.spark.createDataFrame(
+            rows, "content int, file_path string, file_format string, "
+                  "partition map<string,string>, record_count long, "
+                  "file_size_in_bytes long, sequence_number long")
+
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.partitions`` metadata table: per-partition-tuple
+        record/file/byte counts — the per-partition lineage+metrics view."""
+        f = self.files_df(snapshot_id)
+        return (f.groupBy("partition")
+                .agg(F.sum("record_count").alias("record_count"),
+                     F.count(F.lit(1)).alias("file_count"),
+                     F.sum("file_size_in_bytes").alias("total_size_bytes")))
+
+    def remove_orphan_files(self, older_than_s: float = 86400.0) -> dict:
+        """Delete files under the table location reachable from NO
+        snapshot — the storage-reclamation pass for commit debris:
+        a crashed writer's staged parquet, and the manifest/manifest-list
+        files a CAS-losing append wrote before rebasing (those are
+        re-written under the winning sequence number; the losers stay
+        orphaned by design). ``older_than_s`` guards against deleting an
+        IN-FLIGHT writer's staged-but-uncommitted files — only files older
+        than it are removed (tests pass 0). Returns
+        {'data_files_deleted', 'metadata_files_deleted'}."""
+        md = self.metadata()
+        reachable: set[str] = set()
+        for s in md.get("snapshots", []):
+            reachable.add(os.path.abspath(s["manifest-list"]))
+            _, manifests, _ = read_avro_file(s["manifest-list"])
+            for m in manifests:
+                reachable.add(os.path.abspath(m["manifest_path"]))
+                _, rows, _ = read_avro_file(m["manifest_path"])
+                for e in rows:
+                    reachable.add(os.path.abspath(
+                        e["data_file"]["file_path"]))
+        cutoff = time.time() - older_than_s
+        n_data = n_meta = 0
+        data_root = os.path.join(self.location, "data")
+        for root, _dirs, names in os.walk(data_root):
+            for fn in names:
+                p = os.path.abspath(os.path.join(root, fn))
+                if (p not in reachable and not fn.startswith((".", "_"))
+                        and os.path.getmtime(p) <= cutoff):
+                    os.remove(p)
+                    n_data += 1
+        for fn in os.listdir(self._meta_dir()):
+            p = os.path.abspath(os.path.join(self._meta_dir(), fn))
+            if not fn.endswith(".avro"):
+                continue  # metadata jsons + hint are version history
+            if p not in reachable and os.path.getmtime(p) <= cutoff:
+                os.remove(p)
+                n_meta += 1
+        return {"data_files_deleted": n_data,
+                "metadata_files_deleted": n_meta}
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire history: keep the most recent `keep_last` snapshots
         (always including the current one), rewrite metadata without the
