@@ -1053,3 +1053,54 @@ def test_remove_orphan_files(spark, tmp_path):
     # idempotent
     again = t.remove_orphan_files(older_than_s=0)
     assert again == {"data_files_deleted": 0, "metadata_files_deleted": 0}
+
+
+def test_cli_snapshot_incremental_dedup(spark, tmp_path, capsys):
+    """The snapshot-checkpointed CLI loop: hash --append_bands_to feeds ONE
+    growing Iceberg bands table; dedup --from_snapshot folds only the delta
+    each run (printing the consumed watermark); final clusters are
+    byte-identical to a one-shot dedup over both datasets."""
+    from tests.conftest import synth_corpus
+    from text_dedup_spark import cli
+
+    corpus = synth_corpus(80, seed=9)
+    half = len(corpus) // 2
+    paths = []
+    for i, part in enumerate((corpus[:half], corpus[half:])):
+        p = str(tmp_path / f"corpus{i}")
+        spark.createDataFrame(
+            part, "doc_id long, text string"
+        ).write.mode("overwrite").parquet(p)
+        paths.append(p)
+
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--column", "text", "--ngram_size", "3", "--num_perm", "16",
+              "--threshold", "0.7", "--checkpoint_dir", ckpt,
+              "--checkpoint_format", "iceberg"]
+    mark = "begin"
+    for i, p in enumerate(paths):
+        start = ["--start_id", "100000"] if i else []
+        cli.main(["hash", "--input", p, "--dataset", f"d{i}",
+                  "--append_bands_to", "bands", *start, *common])
+        cli.main(["dedup", "--checkpoint_dir", ckpt,
+                  "--checkpoint_format", "iceberg",
+                  "--from_snapshot", mark])
+        out = capsys.readouterr().out
+        mark = out.rsplit("consumed_to_snapshot=", 1)[1].split()[0]
+    cat = NativeIcebergCatalog(spark, ckpt)
+    inc = {(r["__id__"], r["component"])
+           for r in cat.read("clusters").collect()}
+    cli.main(["dedup", "--checkpoint_dir", ckpt,
+              "--checkpoint_format", "iceberg",
+              "--datasets", "d0", "d1"])
+    full = {(r["__id__"], r["component"])
+            for r in cat.read("clusters").collect()}
+    assert inc == full and len(inc) > 0
+    # guard rails
+    with pytest.raises(SystemExit, match="cannot be combined"):
+        cli.main(["dedup", "--checkpoint_dir", ckpt,
+                  "--checkpoint_format", "iceberg",
+                  "--from_snapshot", "begin", "--datasets", "d0"])
+    with pytest.raises(SystemExit, match="iceberg"):
+        cli.main(["dedup", "--checkpoint_dir", str(tmp_path / "pq"),
+                  "--from_snapshot", "begin"])

@@ -147,18 +147,48 @@ def cmd_hash(args) -> None:
         short_doc_policy=args.short_doc_policy,
     )
     print(max_assigned)  # next dataset's --start_id is this + 1 (PREV_ID role)
+    if getattr(args, "append_bands_to", None):
+        # snapshot-checkpointed consumption: fold this dataset's band rows
+        # into the ONE growing bands table that `dedup --from_snapshot`
+        # consumes incrementally (iceberg checkpoints)
+        from .plans.staged import bands_name
+
+        catalog.append(catalog.read(bands_name(args.dataset)),
+                       args.append_bands_to)
     if _own:
         spark.stop()
 
 
 def cmd_dedup(args) -> None:
-    from .plans.staged import stage_dedup, stage_dedup_incremental
+    from .plans.staged import (
+        stage_dedup,
+        stage_dedup_incremental,
+        stage_dedup_incremental_snapshot,
+    )
 
     spark, _own = _session("text-dedup-dedup")
     catalog = _catalog(spark, args)
-    if getattr(args, "new_datasets", None):
+    if getattr(args, "from_snapshot", None) is not None:
+        if getattr(args, "datasets", None):
+            raise SystemExit(
+                "--from_snapshot consumes ONE growing bands table; "
+                "it cannot be combined with --datasets")
+        if not hasattr(catalog, "read_incremental"):
+            raise SystemExit(
+                "--from_snapshot requires --checkpoint_format iceberg "
+                "(snapshot history lives in the table format)")
+        since = (None if args.from_snapshot == "begin"
+                 else int(args.from_snapshot))
+        to = catalog.current_snapshot_id(args.bands_table)
+        stage_dedup_incremental_snapshot(
+            catalog, since, bands_table=args.bands_table, to_snapshot_id=to)
+        # the consumed watermark: feed it back as the next --from_snapshot
+        print(f"consumed_to_snapshot={to}")
+    elif getattr(args, "new_datasets", None):
         stage_dedup_incremental(catalog, args.datasets, args.new_datasets)
     else:
+        if not getattr(args, "datasets", None):
+            raise SystemExit("dedup needs --datasets (or --from_snapshot)")
         stage_dedup(catalog, args.datasets)
     if _own:
         spark.stop()
@@ -442,19 +472,32 @@ def build_parser() -> argparse.ArgumentParser:
                    default="parquet")
     p.add_argument("--dataset", required=True)
     p.add_argument("--start_id", type=int, default=0)
+    p.add_argument(
+        "--append_bands_to", default=None,
+        help="also append this dataset's band rows into the named growing "
+        "bands table (the `dedup --from_snapshot` feed)")
     p.set_defaults(fn=cmd_hash)
 
     p = sub.add_parser("dedup", help="stage B: global connected components")
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--checkpoint_format", choices=["parquet", "iceberg"],
                    default="parquet")
-    p.add_argument("--datasets", nargs="+", required=True)
+    p.add_argument("--datasets", nargs="+", default=None)
     p.add_argument(
         "--new_datasets", nargs="+", default=None,
         help="incremental mode: fold these newly hashed datasets into the "
         "existing cluster table (--datasets = the already-clustered ones) "
         "without re-clustering the corpus",
     )
+    p.add_argument(
+        "--from_snapshot", default=None,
+        help="snapshot-checkpointed incremental mode over ONE growing "
+        "bands table (--checkpoint_format iceberg only): fold rows "
+        "appended after this snapshot id ('begin' = the full history); "
+        "prints consumed_to_snapshot=<id> for the next run",
+    )
+    p.add_argument("--bands_table", default="bands",
+                   help="bands table name for --from_snapshot mode")
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("remove", help="stage C: split kept/removed")
