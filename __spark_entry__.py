@@ -33,6 +33,10 @@ from text_dedup_spark.operators.simhash_dedup import simhash_assignments_from_te
 from text_dedup_spark.operators.suffix import remove_duplicate_substrings
 from text_dedup_spark.operators.decontaminate import decontaminate
 from text_dedup_spark.operators.lines import dedup_lines
+from text_dedup_spark.operators.normalize import (
+    normalize_sql,
+    normalized_exact_assignments,
+)
 from text_dedup_spark.operators.textstats import (
     doc_fingerprint,
     doc_stats,
@@ -93,6 +97,21 @@ def q_exact_dedup_survivors(spark, sf_dir):
 def q_exact_dup_assignments(spark, sf_dir):
     df = _docs_with_exact_dups(spark, sf_dir)
     return exact_assignments(df, "text", "doc_id")
+
+
+def q_normalized_exact_dup_assignments(spark, sf_dir):
+    """CCNet-style normalized-exact tier (operators/normalize.py): plants
+    normalized-equal variants — uppercased, whitespace-padded, punctuation-
+    wrapped — that the RAW exact hash cannot catch; the oracle restates the
+    identical normalization pipeline in DuckDB SQL via normalize_sql()."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clone = d.select(
+        (F.col("doc_id") + ID_SHIFT).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    return normalized_exact_assignments(
+        _spread(d.unionByName(clone)), "text", "doc_id"
+    )
 
 
 def q_dedup_report(spark, sf_dir):
@@ -1008,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_survivors": q_exact_dedup_survivors,
         "exact_dup_assignments": q_exact_dup_assignments,
+        "normalized_exact_dup_assignments": q_normalized_exact_dup_assignments,
         "dedup_report": q_dedup_report,
         "doc_stats": q_doc_stats,
         "quality_score": q_quality_score,
@@ -1216,6 +1236,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, m.component
             FROM h JOIN m USING (hh)
             WHERE h.doc_id <> m.component
+        """,
+        # same planting as q_normalized_exact_dup_assignments; the key
+        # expression is normalize_sql('text') — single source of truth with
+        # the Catalyst pipeline it restates (operators/normalize.py)
+        "normalized_exact_dup_assignments": f"""
+            WITH a AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {ID_SHIFT}, '  ' || upper(text) || ' !!'
+              FROM documents
+            ),
+            k AS (SELECT doc_id, {normalize_sql("text")} AS key FROM a),
+            m AS (SELECT key, min(doc_id) AS component FROM k GROUP BY key)
+            SELECT k.doc_id, m.component
+            FROM k JOIN m USING (key)
+            WHERE k.doc_id <> m.component
         """,
         "dedup_report": f"""
             WITH h AS (SELECT doc_id, text, md5(text) AS hh FROM ({_EXACT_DUP_UNION})),

@@ -67,6 +67,18 @@ def test_cli_exact_and_suffix(spark, corpus_path, tmp_path):
     n_exact = spark.read.parquet(out1).count()
     assert 0 < n_exact <= spark.read.parquet(corpus_path).count()
 
+    # --normalize folds case/punct/whitespace into the dedup key: a
+    # shouting clone of every doc dedups away entirely
+    shout = str(tmp_path / "shout")
+    d = spark.read.parquet(corpus_path)
+    d.unionByName(
+        d.selectExpr("doc_id + 1000 AS doc_id", "upper(text) || ' !!' AS text")
+    ).write.mode("overwrite").parquet(shout)
+    out_norm = str(tmp_path / "exact_norm_out")
+    _run(["exact", "--input", shout, "--output", out_norm,
+          "--column", "text", "--id_column", "doc_id", "--normalize"])
+    assert spark.read.parquet(out_norm).count() == n_exact
+
     out2 = str(tmp_path / "suffix_out")
     _run(["suffix", "--input", corpus_path, "--output", out2,
           "--column", "text", "--id_column", "doc_id", "--k", "20",

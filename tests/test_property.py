@@ -9,7 +9,7 @@ from __future__ import annotations
 from collections import defaultdict
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from text_dedup_spark.kernel.intervals import merge_intervals, restore_and_merge
@@ -305,6 +305,11 @@ def test_gif_roundtrip_property(h, w, n_frames, n_colors, interlace, seed):
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=120, deadline=None)
+@example(
+    fmt_i=1,
+    mode='bitflip',
+    seed=376695100,
+).via('discovered failure')
 def test_try_decode_never_raises_on_mangled_bytes(fmt_i, mode, seed):
     """try_decode_image must return an array or None for ANY bytes — a
     corrupt row on a web corpus becomes decode_ok=false, never a stray

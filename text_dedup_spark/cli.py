@@ -282,6 +282,7 @@ def cmd_image_apply(args) -> None:
 def cmd_exact(args) -> None:
     from .operators.exact import exact_dedup
     from .operators.ids import ID, assign_unique_ids
+    from .operators.normalize import normalized_exact_dedup
 
     spark, _own = _session("text-dedup-exact")
     df = _read(spark, args.input, getattr(args, "format", "parquet"))
@@ -289,7 +290,8 @@ def cmd_exact(args) -> None:
     if id_col is None:
         df = assign_unique_ids(df, ID)
         id_col = ID
-    _write(exact_dedup(df, args.column, id_col), args.output, args.output_format)
+    dedup = normalized_exact_dedup if getattr(args, "normalize", False) else exact_dedup
+    _write(dedup(df, args.column, id_col), args.output, args.output_format)
     if _own:
         spark.stop()
 
@@ -565,6 +567,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
+    p.add_argument("--normalize", action="store_true",
+                   help="dedup on the CCNet-style normalized rendering "
+                        "(case/digits/accents/punct/whitespace folded)")
     p.set_defaults(fn=cmd_exact)
 
     p = sub.add_parser("simhash", help="SimHash near-dedup")

@@ -221,7 +221,12 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                hs, vs = hv >> 4, hv & 0xF
+                # T.81 B.2.2: Hi/Vi are 1..4 — 0 divides later (upsample
+                # ratios), >4 overflows MCU geometry; both mean corruption
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
