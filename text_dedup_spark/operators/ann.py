@@ -110,6 +110,56 @@ def make_sign_lsh_udf(nbits: int, n_tables: int, seed: int = 42, dim: int | None
     return sign_buckets
 
 
+def make_multiprobe_lsh_udf(
+    nbits: int, n_tables: int, seed: int, n_probes: int, dim: int | None = None
+):
+    """array<float> -> array<int> of ``n_tables * n_probes`` bucket ids —
+    query-directed multi-probe sign-LSH (Lv et al. 2007, VLDB: "Multi-Probe
+    LSH: Efficient Indexing for High-Dimensional Similarity Search").
+
+    Probe 0 per table is the base bucket (identical to
+    ``make_sign_lsh_udf`` — SAME seed => same planes => joinable against a
+    corpus index built with the single-probe UDF). Probe j >= 1 flips the
+    j-th LOWEST-|margin| bit: the hyperplanes the vector sits closest to
+    are the ones a true near-neighbor most plausibly landed on the other
+    side of, so these are the highest-yield neighboring buckets.
+
+    First-order (single-bit) perturbations only, so ``n_probes <= nbits+1``
+    — fully vectorized over the Arrow batch (an argsort of |projection|
+    per table; flipping bit b is an int XOR with 1<<b). Layout of the
+    returned array: table-major (``pos // n_probes`` recovers the table),
+    matching the posexplode in ``lsh_topk``.
+    """
+    if n_probes > nbits + 1:
+        raise ValueError(f"n_probes={n_probes} > nbits+1={nbits + 1}")
+    state: dict = {}
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def multiprobe_buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        planes = state.get("planes")
+        if planes is None:
+            d = dim if dim is not None else mat.shape[1]
+            rng = np.random.RandomState(seed)
+            planes = rng.normal(size=(n_tables, d, nbits))
+            state["planes"] = planes
+        n = mat.shape[0]
+        weights = (1 << np.arange(nbits)).astype(np.int64)
+        out = np.empty((n, n_tables, n_probes), dtype=np.int64)
+        for t in range(n_tables):
+            proj = mat @ planes[t]  # (batch, nbits)
+            base = ((proj > 0) @ weights).astype(np.int64)
+            out[:, t, 0] = base
+            if n_probes > 1:
+                # bits sorted by |margin| ascending = flip-likelihood desc
+                order = np.argsort(np.abs(proj), axis=1, kind="stable")
+                flips = np.int64(1) << order[:, : n_probes - 1]
+                out[:, t, 1:] = base[:, None] ^ flips
+        return pd.Series(out.reshape(n, -1).astype(np.int32).tolist())
+
+    return multiprobe_buckets
+
+
 def _collapse_identical_vectors(
     df: DataFrame, id_col: str, vec_col: str, member_cap: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -157,8 +207,19 @@ def lsh_topk(
     nbits: int = 12,
     n_tables: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket-collision candidates, exact re-rank.
+
+    ``n_probes > 1`` turns on query-directed multi-probe (Lv et al. 2007):
+    each QUERY additionally probes the n_probes-1 neighboring buckets
+    reached by flipping its lowest-|margin| sign bits. Recall rises at a
+    FIXED corpus-side index — the right scale lever: the corpus index (the
+    10^12-row side) stays one row per table per distinct vector, only the
+    small query side fans out, and the candidate set is a strict superset
+    of the single-probe one (probe 0 is the base bucket), so recall is
+    monotonically non-decreasing in n_probes while the exact re-rank keeps
+    precision.
 
     Scale shape: (a) identical corpus vectors are collapsed to one
     representative before the bucket join (a tied group of g copies costs 1
@@ -177,10 +238,21 @@ def lsh_topk(
         F.col("id").alias("rep"),
         F.posexplode_outer(udf(F.col("v"))).alias("table", "neighbor_bucket"),
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode_outer(udf(F.col(vec_col))).alias("table", "neighbor_bucket"),
-    )
+    if n_probes > 1:
+        qudf = make_multiprobe_lsh_udf(nbits, n_tables, seed, n_probes)
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode_outer(qudf(F.col(vec_col))).alias("__p__", "neighbor_bucket"),
+        ).select(
+            "query_id",
+            (F.col("__p__") / n_probes).cast("int").alias("table"),
+            "neighbor_bucket",
+        )
+    else:
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode_outer(udf(F.col(vec_col))).alias("table", "neighbor_bucket"),
+        )
     cand = (
         cb.join(qb, ["table", "neighbor_bucket"])
         .select("query_id", "rep")
