@@ -1,30 +1,57 @@
 """Pure-Python VP8 (lossy WebP) decoder vs the system libwebp oracle.
 
-Two evidence classes:
+Three evidence classes:
 - TABLE PARITY: every constant in sources/vp8_tables.py matches the
   bytes the conformance decoder (libwebp) ships — re-extracted live
   from the platform binary by tools/extract_vp8_tables.py.
-- DECODE PARITY: bitstreams produced by libwebp's own encoder decode
-  BIT-EXACTLY (YUV-plane level) through the pure-Python decoder, across
-  sizes that exercise every border convention and qualities that
-  exercise every quantizer/filter-level regime.
-
-All skipped cleanly when the platform has no libwebp.
+- DECODE PARITY (libwebp-gated): bitstreams produced by libwebp's own
+  encoder decode BIT-EXACTLY (YUV-plane level) through the pure-Python
+  decoder, across sizes that exercise every border convention and
+  qualities that exercise every quantizer/filter-level regime; plus
+  CRAFTED streams from the pure-Python mini encoder (vp8_enc.py) that
+  pin syntax paths libwebp's encoder never emits (the simple loop
+  filter, every sharpness level, chosen mode/residual combinations) —
+  libwebp and vp8.py must agree on those too.
+- SELF-CONTAINED goldens (no libwebp needed): crafted encoder->decoder
+  round trips with pinned output hashes, ALPH filter algebra, and the
+  error contract.
 """
 
 from __future__ import annotations
+
+import hashlib
+import itertools
 
 import numpy as np
 import pytest
 
 from text_dedup_spark.sources import vp8_tables as T
+from text_dedup_spark.sources.vp8 import B_PRED, decode_vp8, yuv420_to_rgb
+from text_dedup_spark.sources.vp8_enc import encode_vp8_frame, wrap_webp
 from text_dedup_spark.sources.webp_native import available
 
-pytestmark = pytest.mark.skipif(
+needs_libwebp = pytest.mark.skipif(
     not available(), reason="system libwebp not present"
 )
 
 
+def _ref_yuv(webp_bytes: bytes):
+    from text_dedup_spark.sources.webp_native import decode_webp_yuv_native
+
+    return decode_webp_yuv_native(webp_bytes)
+
+
+def _assert_planes_equal(ref, mine, label=""):
+    for name, a, b in zip("YUV", ref, mine):
+        assert a.shape == b.shape, (label, name, a.shape, b.shape)
+        assert np.array_equal(a, b), (
+            label,
+            name,
+            int(np.abs(a.astype(int) - b.astype(int)).max()),
+        )
+
+
+@needs_libwebp
 def test_tables_match_reference_decoder_bytes():
     from tools.extract_vp8_tables import _libwebp_path, extract
 
@@ -59,3 +86,255 @@ def test_table_shapes_and_ranges():
     assert len(T.DC_QLOOKUP) == len(T.AC_QLOOKUP) == 128
     assert sorted(T.ZIGZAG) == list(range(16))
     assert T.COEFF_BANDS[4] == 6 and T.COEFF_BANDS[15] == 7
+
+
+# ---------------------------------------------------------------------------
+# libwebp-gated decode parity
+# ---------------------------------------------------------------------------
+
+
+@needs_libwebp
+def test_yuv_parity_on_libwebp_encodes():
+    """libwebp-encoded streams across sizes (every border convention:
+    MB-multiple, odd crops, single-MB, wide/tall) and the full quality
+    range (q5 = strong loop filter + hev, q100 = filter off, dense
+    tokens) reconstruct bit-exactly at the YUV level."""
+    from text_dedup_spark.sources.webp_native import encode_webp_lossy_native
+
+    rng = np.random.default_rng(11)
+    for (h, w), q in itertools.product(
+        [(16, 16), (32, 48), (17, 23), (31, 13), (64, 64)],
+        [5, 35, 75, 100],
+    ):
+        kind = (h + w + q) % 3
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        elif kind == 1:
+            img = np.zeros((h, w, 3), np.uint8)
+            for c in range(3):
+                img[..., c] = (
+                    np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5 + 40 * c
+                ) % 256
+        else:
+            img = (rng.integers(0, 256, (h, w, 3)).astype(int) // 2 + 60).astype(
+                np.uint8
+            )
+        data = encode_webp_lossy_native(img, q)
+        payload = _vp8_chunk(data)
+        _assert_planes_equal(_ref_yuv(data), decode_vp8(payload), f"{h}x{w} q{q}")
+
+
+def _vp8_chunk(data: bytes) -> bytes:
+    i = 12
+    while i < len(data):
+        tag = data[i : i + 4]
+        sz = int.from_bytes(data[i + 4 : i + 8], "little")
+        if tag == b"VP8 ":
+            return data[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+@needs_libwebp
+def test_crafted_mode_matrix_vs_libwebp():
+    """Every 4x4 B-mode at every subblock position (borders and interior
+    contexts), plus random mixed-mode MBs — libwebp and the pure-Python
+    decoder must agree on streams neither of their encoders produced."""
+    rng = np.random.default_rng(5)
+    for m in range(10):
+        sub = [0] * 16
+        sub[(m * 7) % 16] = m
+        mb = {"ymode": B_PRED, "sub": sub, "uvmode": m % 4, "skip": True}
+        payload = encode_vp8_frame(16, 16, [mb])
+        _assert_planes_equal(
+            _ref_yuv(wrap_webp(payload)), decode_vp8(payload), f"mode{m}"
+        )
+    for trial in range(6):
+        sub = rng.integers(0, 10, 16).tolist()
+        mb = {
+            "ymode": B_PRED,
+            "sub": sub,
+            "uvmode": int(rng.integers(0, 4)),
+            "skip": True,
+        }
+        payload = encode_vp8_frame(16, 16, [mb])
+        _assert_planes_equal(
+            _ref_yuv(wrap_webp(payload)), decode_vp8(payload), f"mix{trial}"
+        )
+
+
+@needs_libwebp
+def test_crafted_filter_matrix_vs_libwebp():
+    """The normal AND simple loop filters at representative levels and
+    every sharpness, over MBs with real residuals (inner edges active)
+    — libwebp's encoder never emits the simple filter, so this is the
+    only executable conformance evidence for that path."""
+    rng = np.random.default_rng(21)
+    for ftype, flevel, sharp in [
+        (0, 5, 0), (0, 40, 0), (0, 63, 7), (0, 20, 3),
+        (1, 5, 0), (1, 40, 0), (1, 63, 5), (1, 20, 2),
+    ]:
+        mbs = []
+        for i in range(4):
+            if i % 2 == 0:
+                mbs.append(
+                    {
+                        "ymode": B_PRED,
+                        "sub": rng.integers(0, 10, 16).tolist(),
+                        "uvmode": int(rng.integers(0, 4)),
+                        "y": [
+                            [int(v) for v in rng.integers(-4, 5, 16)]
+                            for _ in range(16)
+                        ],
+                        "uv": [
+                            [int(v) for v in rng.integers(-3, 4, 16)]
+                            for _ in range(8)
+                        ],
+                    }
+                )
+            else:
+                mbs.append(
+                    {
+                        "ymode": int(rng.integers(0, 4)),
+                        "uvmode": int(rng.integers(0, 4)),
+                        "y2": [int(v) for v in rng.integers(-4, 5, 16)],
+                        "y": [
+                            [0] + [int(v) for v in rng.integers(-3, 4, 15)]
+                            for _ in range(16)
+                        ],
+                        "uv": [
+                            [int(v) for v in rng.integers(-2, 3, 16)]
+                            for _ in range(8)
+                        ],
+                    }
+                )
+        payload = encode_vp8_frame(
+            32, 32, mbs, y_ac_qi=40,
+            filter_level=flevel, filter_type=ftype, sharpness=sharp,
+        )
+        _assert_planes_equal(
+            _ref_yuv(wrap_webp(payload)),
+            decode_vp8(payload),
+            f"ftype{ftype} lvl{flevel} sh{sharp}",
+        )
+
+
+@needs_libwebp
+def test_container_lossy_decode_matches_native_rgb_exactly():
+    """decode_webp routes lossy VP8 through the pure decoder; its RGB
+    output (fancy chroma upsampling + the studio-swing fixed-point
+    matrix) is BIT-EXACT with libwebp's default WebPDecodeRGBA — the
+    full container->pixels path, even dims and odd crops."""
+    from text_dedup_spark.sources.vp8l import decode_webp
+    from text_dedup_spark.sources.webp_native import (
+        decode_webp_native,
+        encode_webp_lossy_native,
+    )
+
+    rng = np.random.default_rng(2)
+    for h, w in [(48, 64), (33, 29), (16, 16)]:
+        img = np.zeros((h, w, 3), np.uint8)
+        for c in range(3):
+            img[..., c] = (
+                np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5 + 40 * c
+            ) % 256
+        if h == 33:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        data = encode_webp_lossy_native(img, 80)
+        mine = decode_webp(data)
+        ref = decode_webp_native(data)[..., :3]
+        assert np.array_equal(mine, ref), (h, w)
+
+
+# ---------------------------------------------------------------------------
+# self-contained goldens (run without libwebp)
+# ---------------------------------------------------------------------------
+
+
+def test_crafted_roundtrip_golden():
+    """Deterministic crafted stream -> pinned decode hash.  The hash was
+    produced while the stream ALSO decoded bit-exactly through libwebp
+    (test_crafted_mode_matrix_vs_libwebp), so it pins conformance for
+    environments without the native library."""
+    mbs = [
+        {
+            "ymode": B_PRED,
+            "sub": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 2, 4, 6, 8, 1],
+            "uvmode": 3,
+            "y": [[(i * 7 + j * 3) % 9 - 4 for j in range(16)] for i in range(16)],
+            "uv": [[(i + j) % 7 - 3 for j in range(16)] for i in range(8)],
+        },
+        {
+            "ymode": 0,
+            "uvmode": 1,
+            "y2": [((i * 5) % 9) - 4 for i in range(16)],
+            "y": [[0] + [(i - j) % 7 - 3 for j in range(15)] for i in range(16)],
+            "uv": [[(2 * i + j) % 5 - 2 for j in range(16)] for i in range(8)],
+        },
+        {"ymode": 2, "uvmode": 0, "skip": True},
+        {"ymode": B_PRED, "sub": [9] * 16, "uvmode": 2, "skip": True},
+    ]
+    payload = encode_vp8_frame(32, 32, mbs, y_ac_qi=30, filter_level=12)
+    y, u, v = decode_vp8(payload)
+    digest = hashlib.sha256(
+        y.tobytes() + u.tobytes() + v.tobytes()
+    ).hexdigest()
+    if available():  # pin against the reference decoder when possible
+        _assert_planes_equal(_ref_yuv(wrap_webp(payload)), (y, u, v), "golden")
+    assert digest == GOLDEN_DIGEST, digest
+
+
+GOLDEN_DIGEST = "8d1c23f97e2680ebb0f658bfbf07eeaa109c32ab4e88a826b64a5714cb672ade"
+
+
+def test_rgb_conversion_shape_and_range():
+    mb = {"ymode": 3, "uvmode": 3, "skip": True}
+    payload = encode_vp8_frame(16, 16, [mb])
+    rgb = yuv420_to_rgb(*decode_vp8(payload))
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
+
+
+def test_alph_filters_roundtrip():
+    """All four ALPH filter modes invert correctly: apply the spec's
+    forward filter to a plane, decode through decode_alph_chunk
+    (compression method 0), and recover the original."""
+    from text_dedup_spark.sources.vp8l import decode_alph_chunk
+
+    rng = np.random.default_rng(9)
+    plane = rng.integers(0, 256, (9, 7), np.uint8).astype(np.int32)
+    h, w = plane.shape
+    for filt in range(4):
+        resid = np.zeros_like(plane)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = 0
+                elif y == 0:
+                    p = plane[0, x - 1]
+                elif x == 0:
+                    p = plane[y - 1, 0]
+                elif filt == 1:
+                    p = plane[y, x - 1]
+                elif filt == 2:
+                    p = plane[y - 1, x]
+                elif filt == 3:
+                    g = plane[y, x - 1] + plane[y - 1, x] - plane[y - 1, x - 1]
+                    p = min(255, max(0, g))
+                else:
+                    p = 0
+                resid[y, x] = (plane[y, x] - p) & 0xFF
+        raw = resid.astype(np.uint8).tobytes() if filt else plane.astype(np.uint8).tobytes()
+        chunk = bytes([filt << 2]) + raw
+        out = decode_alph_chunk(chunk, w, h)
+        assert np.array_equal(out, plane.astype(np.uint8)), filt
+
+
+def test_error_contract():
+    with pytest.raises(ValueError):
+        decode_vp8(b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_vp8(b"\x00" * 3 + b"\x9d\x01\x2b" + b"\x00" * 16)  # bad start code
+    mb = {"ymode": 0, "uvmode": 0, "skip": True}
+    payload = encode_vp8_frame(16, 16, [mb])
+    with pytest.raises(ValueError):
+        decode_vp8(bytes([payload[0] | 1]) + payload[1:])  # non-keyframe bit

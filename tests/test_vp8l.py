@@ -115,12 +115,14 @@ def test_vp8l_real_libwebp_stream_golden():
 
 
 def test_webp_error_contract():
-    # lossy VP8 container: recognized, flag-skipped, never a task failure
+    # garbage lossy VP8 payload: now routed to the pure-Python VP8
+    # decoder, which rejects it as corrupt (ValueError), so the flag
+    # policy still yields None — never a task failure
     lossy = (
         b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
         + b"VP8 " + (10).to_bytes(4, "little") + b"\x00" * 10
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_webp(lossy)
     assert try_decode_image(lossy, "webp") is None
     with pytest.raises(ValueError):

@@ -374,17 +374,11 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
             return decode_tiff(data)
         if fmt == "webp":
-            # lossless (VP8L) decodes via the pure-Python codec; lossy VP8
-            # falls back to the system libwebp when present, else the
-            # NotImplementedError feeds the flag policy
+            # both halves pure-Python: lossless via the VP8L codec,
+            # lossy via the RFC 6386 VP8 keyframe decoder (vp8.py)
             from .vp8l import decode_webp
 
-            try:
-                return decode_webp(data)
-            except NotImplementedError:
-                from .webp_native import decode_webp_native
-
-                return np.ascontiguousarray(decode_webp_native(data)[..., :3])
+            return decode_webp(data)
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:

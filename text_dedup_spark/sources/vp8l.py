@@ -28,12 +28,11 @@ libwebp-produced VP8L stream (the alpha plane of CPython's
 test python.webp).
 
 Animated WebP (ANIM/ANMF) decodes to composited frames for the video
-fingerprint path (VP8L frames pure-Python with alpha; lossy frames via
-the env-gated system-libwebp binding in sources/webp_native.py — which
-also serves as the reference-decoder oracle for this codec's tests).
-Pure-Python lossy VP8 remains out of scope: its entropy decode needs a
-bool-coder/DCT codec whose large constant tables cannot be verified
-here; those rows flag-skip when no libwebp is present.
+fingerprint path — VP8L frames and lossy VP8 frames (sources/vp8.py,
+the pure-Python RFC 6386 keyframe decoder) both pure-Python, with ALPH
+alpha planes (both compression methods, all four alpha filters).  The
+env-gated system-libwebp binding in sources/webp_native.py now serves
+purely as the reference-decoder oracle for both codecs' tests.
 """
 
 from __future__ import annotations
@@ -516,8 +515,10 @@ def _argb_to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """WebP container -> HxWx3 uint8. Lossless (VP8L) decodes for real;
-    lossy VP8 raises NotImplementedError into the flag policy."""
+    """WebP container -> HxWx3 uint8. Lossless (VP8L) decodes through
+    the pure-Python VP8L codec; lossy (VP8) through the pure-Python
+    RFC 6386 keyframe decoder (sources/vp8.py, bit-exact with libwebp
+    at the YUV level; RGB via the documented simple upsampler)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP")
     pos = 12
@@ -531,7 +532,9 @@ def decode_webp(data: bytes) -> np.ndarray:
         if tag == b"VP8L":
             return decode_vp8l(payload)
         if tag == b"VP8 ":
-            raise NotImplementedError("lossy VP8 decode not supported")
+            from .vp8 import decode_vp8, yuv420_to_rgb
+
+            return yuv420_to_rgb(*decode_vp8(payload))
         # VP8X / ALPH / metadata chunks: keep walking to the image chunk
     raise ValueError("WebP container has no image chunk")
 
@@ -626,6 +629,50 @@ def decode_alpha_vp8l(payload: bytes, w: int, h: int) -> np.ndarray:
     plane. Returns (h, w) uint8 alpha."""
     img = _decode_vp8l_body(_BitReader(payload), w, h)
     return ((img >> 8) & 0xFF).astype(np.uint8)
+
+
+def decode_alph_chunk(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Full ALPH chunk (WITH its flags byte) -> (h, w) uint8 alpha.
+
+    Flags byte: bits 0-1 compression (0 raw, 1 VP8L green channel),
+    bits 2-3 filtering (0 none, 1 horizontal, 2 vertical, 3 gradient),
+    bits 4-5 pre-processing (level reduction — informative only)."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    flags = payload[0]
+    compression = flags & 3
+    filt = (flags >> 2) & 3
+    body = payload[1:]
+    if compression == 0:
+        if len(body) < w * h:
+            raise ValueError("short raw ALPH payload")
+        a = np.frombuffer(body[: w * h], np.uint8).reshape(h, w).astype(np.int32)
+    elif compression == 1:
+        a = decode_alpha_vp8l(body, w, h).astype(np.int32)
+    else:
+        raise ValueError(f"reserved ALPH compression {compression}")
+    if filt:
+        # predictions use DECODED neighbors; first row/col predict from
+        # the top-left rules of the WebP spec (left=top for row 0 etc.).
+        out = np.zeros((h, w), np.int32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = 0
+                elif y == 0:
+                    p = out[0, x - 1]
+                elif x == 0:
+                    p = out[y - 1, 0]
+                elif filt == 1:
+                    p = out[y, x - 1]
+                elif filt == 2:
+                    p = out[y - 1, x]
+                else:
+                    g = out[y, x - 1] + out[y - 1, x] - out[y - 1, x - 1]
+                    p = 0 if g < 0 else (255 if g > 255 else g)
+                out[y, x] = (a[y, x] + p) & 0xFF
+        a = out
+    return a.astype(np.uint8)
 
 
 # ---------------------------------------------------------------- encoder
@@ -1029,27 +1076,17 @@ def _decode_frame_payload(frame_data: bytes, fw: int, fh: int) -> np.ndarray:
                 raise ValueError("ANMF frame dims mismatch")
             return rgba
         elif tag == b"VP8 ":
-            from .webp_native import decode_webp_native
+            from .vp8 import decode_vp8, yuv420_to_rgb
 
-            # wrap the lossy frame back into a standalone container for
-            # the reference decoder (alpha chunk included when present)
-            chunks = b""
-            if alpha is not None:
-                flags = 0x10
-                vp8x = bytes([flags, 0, 0, 0]) + (fw - 1).to_bytes(
-                    3, "little"
-                ) + (fh - 1).to_bytes(3, "little")
-                chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
-                chunks += b"ALPH" + struct.pack("<I", len(alpha)) + alpha
-                if len(alpha) % 2:
-                    chunks += b"\x00"
-            chunks += b"VP8 " + struct.pack("<I", len(payload)) + payload
-            if len(payload) % 2:
-                chunks += b"\x00"
-            riff = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
-            rgba = decode_webp_native(riff)
-            if rgba.shape[:2] != (fh, fw):
+            rgb = yuv420_to_rgb(*decode_vp8(payload))
+            if rgb.shape[:2] != (fh, fw):
                 raise ValueError("ANMF frame dims mismatch")
+            rgba = np.empty((fh, fw, 4), dtype=np.uint8)
+            rgba[..., :3] = rgb
+            if alpha is not None:
+                rgba[..., 3] = decode_alph_chunk(alpha, fw, fh)
+            else:
+                rgba[..., 3] = 255
             return rgba
     raise ValueError("ANMF frame has no image sub-chunk")
 
