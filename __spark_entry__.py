@@ -887,31 +887,35 @@ def q_image_meta(spark, sf_dir):
 
 def q_image_container_parity(spark, sf_dir):
     """Round-3 container coverage: every real still-image codec the engine
-    carries (png, baseline jpeg, gif, bmp, tiff, webp — all pure-Python,
-    sources/) must agree on the pixels it hands the dedup surface. The
-    fixture ships the SAME pre-quantized image in all six containers
-    (synth.image_containers_table; tiff = LZW + horizontal predictor,
-    webp = VP8L lossless with subtract-green + color cache + runs); the
-    query recomputes the 64-bit perceptual hash from bytes per row and
-    reports, per format, the worst Hamming distance to the PNG row of the
-    same image_id. Lossless containers (png/gif/bmp/tiff/webp) must be
-    bit-identical (0); near-lossless baseline JPEG is allowed 1 drifted
-    bit on razor-edge block means. A decode failure in ANY container fails
-    the whole query (the UDF raises), so a green cell proves all six
-    codecs executed in-harness."""
+    carries (png, baseline jpeg, gif, bmp, tiff, webp lossless AND webp
+    lossy — all pure-Python, sources/) must agree on the pixels it hands
+    the dedup surface. The fixture ships the SAME pre-quantized image in
+    all seven codecs (synth.image_containers_table; tiff = LZW +
+    horizontal predictor, webp = VP8L lossless, webp_lossy = the RFC 6386
+    VP8 encoder at near-lossless qi=4); the query recomputes the 64-bit
+    perceptual hash from bytes per row and reports, per codec, the worst
+    Hamming distance to the PNG row of the same image_id. Lossless codecs
+    (png/gif/bmp/tiff/webp) must be bit-identical (0); near-lossless
+    baseline JPEG is allowed 1 drifted bit, lossy VP8 (4:2:0 + DCT
+    quantization) 3 — both measured at seed 7 and stable because both
+    codec pairs are deterministic. A decode failure in ANY codec fails
+    the whole query (the UDF raises), so a green cell proves all seven
+    executed in-harness."""
     from text_dedup_spark.functions.image_udf import phash_from_bytes
     from text_dedup_spark.sources.synth import image_containers_table
 
     t = image_containers_table(spark, 8, seed=7)
     f = t.select(
-        "image_id", "fmt", phash_from_bytes(F.col("bytes"), F.col("fmt")).alias("ph")
+        "image_id",
+        "codec",
+        phash_from_bytes(F.col("bytes"), F.col("fmt")).alias("ph"),
     )
-    png = f.filter(F.col("fmt") == "png").select(
+    png = f.filter(F.col("codec") == "png").select(
         "image_id", F.col("ph").alias("ph_png")
     )
     return (
         f.join(png, "image_id")
-        .groupBy("fmt")
+        .groupBy("codec")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
             F.max(F.bit_count(F.col("ph").bitwiseXOR(F.col("ph_png"))))
@@ -928,9 +932,10 @@ def q_format_sniff_audit(spark, sf_dir):
     table (8 images x png/jpeg/gif/bmp/tiff, correctly labeled) and
     deliberately relabels every gif row as 'png'; the query groups by the
     SNIFFED format and reports row counts plus how many labels disagreed.
-    Expected: 8 rows per true container, exactly the 8 planted lies
-    caught (sniffed gif, labeled png), zero false mismatches elsewhere,
-    zero unrecognized payloads."""
+    Expected: 8 rows per true container (16 for webp — the lossless and
+    lossy rows share the container), exactly the 8 planted lies caught
+    (sniffed gif, labeled png), zero false mismatches elsewhere, zero
+    unrecognized payloads."""
     from text_dedup_spark.functions.image_udf import sniffed_format
     from text_dedup_spark.sources.synth import image_containers_table
 
@@ -1207,8 +1212,9 @@ def oracle_sql() -> dict[str, str]:
               ('jpeg', CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
               ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
-              ('webp', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
-            ) AS t(fmt, n_images, max_hamming_vs_png)
+              ('webp', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
+              ('webp_lossy', CAST(8 AS BIGINT), CAST(3 AS BIGINT))
+            ) AS t(codec, n_images, max_hamming_vs_png)
         """,
         # format_sniff_audit: constructed row set — 8 images per container;
         # the 8 gif rows are deliberately mislabeled 'png' and must be the
@@ -1220,7 +1226,7 @@ def oracle_sql() -> dict[str, str]:
               ('jpeg', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('png',  CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
               ('tiff', CAST(8 AS BIGINT), CAST(0 AS BIGINT)),
-              ('webp', CAST(8 AS BIGINT), CAST(0 AS BIGINT))
+              ('webp', CAST(16 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(true_fmt, n_images, n_label_lies)
         """,
         "exact_dedup_survivors": f"""

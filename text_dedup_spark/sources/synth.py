@@ -362,7 +362,8 @@ def video_table(
 CONTAINERS_SCHEMA = StructType(
     [
         StructField("image_id", StringType(), False),
-        StructField("fmt", StringType(), False),
+        StructField("fmt", StringType(), False),   # decode routing label
+        StructField("codec", StringType(), False), # parity grouping label
         StructField("bytes", BinaryType(), False),
     ]
 )
@@ -371,11 +372,13 @@ CONTAINERS_SCHEMA = StructType(
 def image_containers_table(
     spark: SparkSession, n_images: int = 8, seed: int = 7
 ) -> DataFrame:
-    """One deterministic image per id, shipped in all SIX real container
-    formats the engine decodes natively — png, jpeg (baseline, near-lossless
-    quant_scale=1), gif, bmp, tiff (LZW + horizontal predictor) and webp
-    (VP8L lossless: subtract-green + color cache + runs) — with IDENTICAL
-    pixels per image_id.
+    """One deterministic image per id, shipped in all SEVEN real codecs
+    the engine decodes natively — png, jpeg (baseline, near-lossless
+    quant_scale=1), gif, bmp, tiff (LZW + horizontal predictor), webp
+    lossless (VP8L: subtract-green + color cache + runs) and webp lossy
+    (pure-Python VP8 at near-lossless qi=4) — with IDENTICAL source
+    pixels per image_id.  ``fmt`` is the decode-routing label (both webp
+    rows say 'webp'); ``codec`` distinguishes the parity rows.
 
     Pixels are pre-quantized to 4 levels per channel (<=64 unique colors)
     so the GIF palette is exact: png/gif/bmp rows are bit-losslessly
@@ -390,6 +393,7 @@ def image_containers_table(
         from .gif import encode_gif
         from .jpeg import encode_jpeg_baseline
         from .tiff import encode_tiff
+        from .vp8_enc import encode_webp_lossy
         from .vp8l import encode_vp8l
 
         for pdf in batches:
@@ -398,16 +402,22 @@ def image_containers_table(
                 rng = np.random.RandomState((seed * 1_000_003 + int(i)) % (2**31))
                 px = (_base_pixels(rng) // 64 * 64).astype(np.uint8)
                 image_id = f"cim-{int(i):06d}"
-                for fmt, blob in (
-                    ("png", encode_png(px)),
-                    ("jpeg", encode_jpeg_baseline(px, 1)),
-                    ("gif", encode_gif(px)),
-                    ("bmp", encode_bmp(px)),
-                    ("tiff", encode_tiff(px, compression=5, predictor=2)),
-                    ("webp", encode_vp8l(px, subtract_green=True,
-                                         cache_bits=6, lz77_runs=True)),
+                for fmt, codec, blob in (
+                    ("png", "png", encode_png(px)),
+                    ("jpeg", "jpeg", encode_jpeg_baseline(px, 1)),
+                    ("gif", "gif", encode_gif(px)),
+                    ("bmp", "bmp", encode_bmp(px)),
+                    ("tiff", "tiff", encode_tiff(px, compression=5, predictor=2)),
+                    ("webp", "webp", encode_vp8l(px, subtract_green=True,
+                                                 cache_bits=6, lz77_runs=True)),
+                    # seventh codec: lossy VP8 through the pure-Python
+                    # encoder (sources/vp8_enc.py) at a near-lossless
+                    # quantizer — same container ('webp' routing/sniff
+                    # label), distinct parity row
+                    ("webp", "webp_lossy", encode_webp_lossy(px, y_ac_qi=4)),
                 ):
-                    rows.append({"image_id": image_id, "fmt": fmt, "bytes": blob})
+                    rows.append({"image_id": image_id, "fmt": fmt,
+                                 "codec": codec, "bytes": blob})
             yield pd.DataFrame(rows, columns=[f.name for f in CONTAINERS_SCHEMA.fields])
 
     ids = spark.range(n_images).repartition(max(2, min(16, n_images)))

@@ -27,9 +27,17 @@ from .vp8 import (
     _UV_MODE_TREE,
 )
 from .vp8_tables import (
+    AC_QLOOKUP,
+    CAT1,
+    CAT2,
+    CAT3,
+    CAT4,
+    CAT5,
+    CAT6,
     COEFF_BANDS,
     COEFF_PROBS,
     COEFF_UPDATE_PROBS,
+    DC_QLOOKUP,
     KF_BMODE_PROB,
     KF_UV_MODE_PROB,
     KF_YMODE_PROB,
@@ -115,11 +123,40 @@ class BoolEncoder:
         return bytes(self.out)
 
 
+# DCT value categories: (base, extra-bit probs) — base 5/7/11/19/35/67,
+# covering |v| up to 2114 (RFC 6386 13.2).
+_CATS = ((5, CAT1), (7, CAT2), (11, CAT3), (19, CAT4), (35, CAT5), (67, CAT6))
+
+
+def _put_large(be: BoolEncoder, p, a: int) -> None:
+    """Token-encode a magnitude a >= 5 via the DCT category trees."""
+    for ci in range(len(_CATS) - 1, -1, -1):
+        base, cat = _CATS[ci]
+        top = base + (1 << len(cat)) - 1
+        if a >= base and (ci == len(_CATS) - 1 or a <= top):
+            break
+    a = min(a, 67 + (1 << 11) - 1)
+    # tree path to the category: p[6] splits {cat1,cat2} vs {cat3..6},
+    # p[7] cat1|cat2, p[8] {cat3,cat4}|{cat5,cat6}, p[9]/p[10] leaves.
+    if ci <= 1:
+        be.put_bit(0, p[6])
+        be.put_bit(ci, p[7])
+    else:
+        be.put_bit(1, p[6])
+        hi = ci >= 4
+        be.put_bit(1 if hi else 0, p[8])
+        be.put_bit((ci - 2) & 1, p[9 + (1 if hi else 0)])
+    base, cat = _CATS[ci]
+    extra = a - base
+    for i, cp in enumerate(cat):
+        be.put_bit((extra >> (len(cat) - 1 - i)) & 1, cp)
+
+
 def _put_tokens(be: BoolEncoder, probs_by_band, ctx: int, first: int,
                 levels) -> int:
     """Emit one 4x4 block's coefficient tokens.  ``levels`` are the raw
-    (pre-dequant) levels in ZIGZAG order starting at ``first``; only
-    values |v| <= 4 are supported (enough for test streams).  Returns
+    (pre-dequant) levels in ZIGZAG order starting at ``first``; any
+    magnitude up to the cat6 ceiling (2114) is representable.  Returns
     the nonzero-context flag for the neighbor bookkeeping."""
     # trim trailing zeros
     last = -1
@@ -147,12 +184,16 @@ def _put_tokens(be: BoolEncoder, probs_by_band, ctx: int, first: int,
                 nctx = 1
             else:
                 be.put_bit(1, p[2])
-                be.put_bit(0, p[3])
-                if a == 2:
-                    be.put_bit(0, p[4])
+                if a <= 4:
+                    be.put_bit(0, p[3])
+                    if a == 2:
+                        be.put_bit(0, p[4])
+                    else:
+                        be.put_bit(1, p[4])
+                        be.put_bit(0 if a == 3 else 1, p[5])
                 else:
-                    be.put_bit(1, p[4])
-                    be.put_bit(0 if a == 3 else 1, p[5])
+                    be.put_bit(1, p[3])
+                    _put_large(be, p, a)
                 nctx = 2
             be.put_flag(1 if v < 0 else 0)
         n += 1
@@ -284,6 +325,195 @@ def encode_vp8_frame(w: int, h: int, mbs, y_ac_qi: int = 4,
     head += b"\x9d\x01\x2a"
     head += bytes([w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F])
     return head + part0 + tokens
+
+
+def _fdct4x4(block) -> list:
+    """VP8 forward 4x4 DCT (the analysis transform matching the
+    decoder's _idct4x4 scaling; libvpx vp8_short_fdct4x4_c)."""
+    tmp = [0] * 16
+    for i in range(4):
+        r = 4 * i
+        a1 = (block[r] + block[r + 3]) * 8
+        b1 = (block[r + 1] + block[r + 2]) * 8
+        c1 = (block[r + 1] - block[r + 2]) * 8
+        d1 = (block[r] - block[r + 3]) * 8
+        tmp[r] = a1 + b1
+        tmp[r + 2] = a1 - b1
+        tmp[r + 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[r + 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = [0] * 16
+    for i in range(4):
+        a1 = tmp[i] + tmp[12 + i]
+        b1 = tmp[4 + i] + tmp[8 + i]
+        c1 = tmp[4 + i] - tmp[8 + i]
+        d1 = tmp[i] - tmp[12 + i]
+        out[i] = (a1 + b1 + 7) >> 4
+        out[8 + i] = (a1 - b1 + 7) >> 4
+        out[4 + i] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (1 if d1 else 0)
+        out[12 + i] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out
+
+
+def _quantize(coeffs, qdc: int, qac: int):
+    """Round-to-nearest quantization, levels in ZIGZAG order, clamped to
+    the cat6 ceiling."""
+    zz = []
+    for n in range(16):
+        c = coeffs[ZIGZAG[n]]
+        q = qdc if n == 0 else qac
+        a = abs(c)
+        lv = (2 * a + q) // (2 * q)
+        if lv > 2114:
+            lv = 2114
+        zz.append(-lv if c < 0 else lv)
+    return zz
+
+
+def _rgb_to_yuv420(rgb: np.ndarray):
+    """Studio-swing BT.601 RGB -> YUV 4:2:0 (integer, 2x2 mean chroma)."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+    u = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+    v = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+    h, w = y.shape
+    he, we = (h + 1) & ~1, (w + 1) & ~1
+    def pad(p):
+        out = np.empty((he, we), np.int32)
+        out[:h, :w] = p
+        out[h:, :w] = p[h - 1 : h, :]
+        out[:he, w:] = out[:he, w - 1 : w]
+        return out
+    u, v = pad(u), pad(v)
+    u = (u[0::2, 0::2] + u[0::2, 1::2] + u[1::2, 0::2] + u[1::2, 1::2] + 2) >> 2
+    v = (v[0::2, 0::2] + v[0::2, 1::2] + v[1::2, 0::2] + v[1::2, 1::2] + 2) >> 2
+    return (
+        np.clip(y, 0, 255).astype(np.uint8),
+        np.clip(u, 0, 255).astype(np.uint8),
+        np.clip(v, 0, 255).astype(np.uint8),
+    )
+
+
+def encode_webp_lossy(rgb: np.ndarray, y_ac_qi: int = 24,
+                      filter_level: int = 0) -> bytes:
+    """RGB (h, w, 3) uint8 -> lossy WebP bytes, fully pure-Python.
+
+    A real (if deliberately simple) VP8 intra encoder: every macroblock
+    is coded B_PRED with B_DC subblock prediction from the evolving
+    reconstruction, residuals go through the forward DCT and
+    round-to-nearest quantization at ``y_ac_qi``, and the encoder-side
+    reconstruction replays the decoder's exact integer ops — so
+    decode(encode(x)) is deterministic and libwebp-conformant (the
+    parity tests decode these streams through the reference decoder).
+    Deterministic lossy fixture generator for environments without
+    libwebp; quality is controlled by the quantizer index (0..127)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w = rgb.shape[:2]
+    yq, uq, vq = _rgb_to_yuv420(rgb)
+    mbw, mbh = (w + 15) >> 4, (h + 15) >> 4
+    W, H = mbw * 16, mbh * 16
+
+    def padded(plane, ph, pw):
+        out = np.empty((ph + 1, pw + 1), np.int32)
+        sh, sw = plane.shape
+        out[1 : sh + 1, 1 : sw + 1] = plane
+        out[sh + 1 :, 1:] = out[sh : sh + 1, 1:]
+        out[1:, sw + 1 :] = out[1:, sw : sw + 1]
+        out[0, :] = 127
+        out[1:, 0] = 129
+        return out
+
+    orig_y = padded(yq, H, W)
+    orig_u = padded(uq, H // 2, W // 2)
+    orig_v = padded(vq, H // 2, W // 2)
+    # reconstruction planes, decoder border conventions
+    rec_y = orig_y.copy()
+    rec_u = orig_u.copy()
+    rec_v = orig_v.copy()
+    for pl in (rec_y, rec_u, rec_v):
+        pl[0, :] = 127
+        pl[1:, 0] = 129
+
+    qi = max(0, min(127, y_ac_qi))
+    qy = (DC_QLOOKUP[qi], AC_QLOOKUP[qi])
+    quv = (min(DC_QLOOKUP[qi], 132), AC_QLOOKUP[qi])
+
+    def code_block(orig, rec, bx, by, quant):
+        """DC-predict one 4x4 from rec, transform/quantize the residual,
+        reconstruct, return zigzag levels."""
+        A = rec[by - 1, bx : bx + 4]
+        L = rec[by : by + 4, bx - 1]
+        dc = (int(A.sum()) + int(L.sum()) + 4) >> 3
+        resid = (orig[by : by + 4, bx : bx + 4] - dc).ravel().tolist()
+        zz = _quantize(_fdct4x4(resid), *quant)
+        deq = [0] * 16
+        for n in range(16):
+            deq[ZIGZAG[n]] = zz[n] * (quant[0] if n == 0 else quant[1])
+        from .vp8 import _idct4x4
+
+        out = np.array(_idct4x4(deq), np.int32).reshape(4, 4) + dc
+        rec[by : by + 4, bx : bx + 4] = np.clip(out, 0, 255)
+        return zz
+
+    mbs = []
+    for mb_y in range(mbh):
+        for mb_x in range(mbw):
+            px, py = 16 * mb_x + 1, 16 * mb_y + 1
+            ylv = []
+            for r in range(4):
+                for c in range(4):
+                    ylv.append(
+                        code_block(orig_y, rec_y, px + 4 * c, py + 4 * r, qy)
+                    )
+            cx, cy = 8 * mb_x + 1, 8 * mb_y + 1
+            uvlv = []
+            for op, rp in ((orig_u, rec_u), (orig_v, rec_v)):
+                # whole-8x8 DC prediction, decoder availability rules
+                if mb_y > 0 and mb_x > 0:
+                    dc = (
+                        int(rp[cy - 1, cx : cx + 8].sum())
+                        + int(rp[cy : cy + 8, cx - 1].sum())
+                        + 8
+                    ) >> 4
+                elif mb_y > 0:
+                    dc = (int(rp[cy - 1, cx : cx + 8].sum()) + 4) >> 3
+                elif mb_x > 0:
+                    dc = (int(rp[cy : cy + 8, cx - 1].sum()) + 4) >> 3
+                else:
+                    dc = 128
+                for r in range(2):
+                    for c in range(2):
+                        bx, by = cx + 4 * c, cy + 4 * r
+                        resid = (op[by : by + 4, bx : bx + 4] - dc).ravel().tolist()
+                        zz = _quantize(_fdct4x4(resid), *quv)
+                        deq = [0] * 16
+                        for n in range(16):
+                            deq[ZIGZAG[n]] = zz[n] * (quv[0] if n == 0 else quv[1])
+                        from .vp8 import _idct4x4
+
+                        out = np.array(_idct4x4(deq), np.int32).reshape(4, 4) + dc
+                        rp[by : by + 4, bx : bx + 4] = np.clip(out, 0, 255)
+                        uvlv.append(zz)
+            mb = {
+                "ymode": B_PRED,
+                "sub": [B_DC_MODE] * 16,
+                "uvmode": DC_PRED,
+            }
+            if any(any(b) for b in ylv) or any(any(b) for b in uvlv):
+                mb["y"] = ylv
+                mb["uv"] = uvlv
+            else:
+                mb["skip"] = True
+            mbs.append(mb)
+
+    payload = encode_vp8_frame(w, h, mbs, y_ac_qi=qi,
+                               filter_level=filter_level)
+    return wrap_webp(payload)
+
+
+B_DC_MODE = 0
 
 
 def wrap_webp(vp8_payload: bytes) -> bytes:
