@@ -287,6 +287,92 @@ def test_crafted_roundtrip_golden():
 GOLDEN_DIGEST = "8d1c23f97e2680ebb0f658bfbf07eeaa109c32ab4e88a826b64a5714cb672ade"
 
 
+def _residual_mbs(rng, n, with_seg=False):
+    mbs = []
+    for i in range(n):
+        if i % 3 == 0:
+            mb = {
+                "ymode": B_PRED,
+                "sub": rng.integers(0, 10, 16).tolist(),
+                "uvmode": int(rng.integers(0, 4)),
+                "y": [[int(v) for v in rng.integers(-9, 10, 16)] for _ in range(16)],
+                "uv": [[int(v) for v in rng.integers(-3, 4, 16)] for _ in range(8)],
+            }
+        else:
+            mb = {
+                "ymode": int(rng.integers(0, 4)),
+                "uvmode": int(rng.integers(0, 4)),
+                "y2": [int(v) for v in rng.integers(-6, 7, 16)],
+                "y": [[0] + [int(v) for v in rng.integers(-5, 6, 15)] for _ in range(16)],
+                "uv": [[int(v) for v in rng.integers(-3, 4, 16)] for _ in range(8)],
+            }
+        if with_seg:
+            mb["seg"] = int(rng.integers(0, 4))
+        mbs.append(mb)
+    return mbs
+
+
+@needs_libwebp
+def test_multi_partition_tokens_vs_libwebp():
+    """2/4/8 token partitions (MB row r -> partition r % n): the decoder
+    must interleave partition bool-streams exactly — a path libwebp's
+    encoder never produces for stills."""
+    rng = np.random.default_rng(31)
+    for n_parts in (2, 4, 8):
+        mbs = _residual_mbs(rng, 16)
+        payload = encode_vp8_frame(64, 64, mbs, y_ac_qi=40,
+                                   filter_level=15, n_parts=n_parts)
+        _assert_planes_equal(
+            _ref_yuv(wrap_webp(payload)), decode_vp8(payload), f"parts{n_parts}"
+        )
+
+
+@needs_libwebp
+def test_segmentation_vs_libwebp():
+    """Per-MB segmentation with both delta and absolute per-segment
+    quantizers and filter levels — exercises the segment-id tree, the
+    per-segment dequant factors, and per-segment loop-filter strength."""
+    rng = np.random.default_rng(33)
+    for abs_mode, quant, lf in [
+        (False, [60, 10, -20, 0], [10, -5, 20, 0]),
+        (True, [20, 60, 100, 5], [5, 25, 50, 0]),
+    ]:
+        mbs = _residual_mbs(rng, 16, with_seg=True)
+        payload = encode_vp8_frame(
+            64, 64, mbs, y_ac_qi=50, filter_level=20,
+            segments={"abs": abs_mode, "quant": quant, "lf": lf},
+        )
+        _assert_planes_equal(
+            _ref_yuv(wrap_webp(payload)), decode_vp8(payload), f"seg abs={abs_mode}"
+        )
+
+
+def test_mangle_fuzz_flag_safety():
+    """Mangled lossy streams must feed the flag policy (None), never a
+    stray exception — the same closed-exception-set contract every other
+    codec in sources/ carries."""
+    from text_dedup_spark.sources.png import try_decode_image
+    from text_dedup_spark.sources.vp8_enc import encode_webp_lossy
+
+    rng = np.random.default_rng(17)
+    img = (rng.integers(0, 256, (32, 48, 3)).astype(int) // 2 + 50).astype(np.uint8)
+    good = bytearray(encode_webp_lossy(img, 20))
+    assert try_decode_image(bytes(good), "webp") is not None
+    for trial in range(300):
+        m = bytearray(good)
+        op = trial % 3
+        if op == 0:  # truncate
+            m = m[: rng.integers(1, len(m))]
+        elif op == 1:  # byte flips
+            for _ in range(int(rng.integers(1, 8))):
+                m[int(rng.integers(0, len(m)))] ^= int(rng.integers(1, 256))
+        else:  # splice garbage
+            at = int(rng.integers(0, len(m)))
+            m[at : at + 8] = bytes(rng.integers(0, 256, 8).tolist())
+        out = try_decode_image(bytes(m), "webp")
+        assert out is None or isinstance(out, np.ndarray)
+
+
 @needs_libwebp
 def test_lossy_encoder_conformance_vs_libwebp():
     """Streams from the pure-Python lossy encoder (real fDCT + quant +

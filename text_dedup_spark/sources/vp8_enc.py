@@ -210,7 +210,8 @@ def _put_tokens(be: BoolEncoder, probs_by_band, ctx: int, first: int,
 
 def encode_vp8_frame(w: int, h: int, mbs, y_ac_qi: int = 4,
                      filter_level: int = 0, filter_type: int = 0,
-                     sharpness: int = 0) -> bytes:
+                     sharpness: int = 0, n_parts: int = 1,
+                     segments=None) -> bytes:
     """Build a VP8 keyframe payload.
 
     ``mbs``: list of per-MB dicts in raster order, each with keys
@@ -218,21 +219,53 @@ def encode_vp8_frame(w: int, h: int, mbs, y_ac_qi: int = 4,
       sub:   16 B-modes (required when ymode == B_PRED)
       uvmode: DC/V/H/TM_PRED
       skip:  bool — if False, 'y2'/'y'/'uv' carry raw token levels
-             (zigzag order): y2 16-list, y 16x16-list, uv 8x16-list.
+             (zigzag order): y2 16-list, y 16x16-list, uv 8x16-list
+      seg:   segment id 0-3 (only when ``segments`` is given).
+
+    ``n_parts``: token partitions (1/2/4/8; MB row r goes to partition
+    r % n_parts, sizes in the 3-byte LE table per RFC 6386 9.5).
+
+    ``segments``: optional dict enabling per-MB segmentation —
+      {'abs': bool, 'quant': [4 ints], 'lf': [4 ints]}; the segment map
+      is always updated (tree probs fixed at 128).
     """
     mbw = (w + 15) >> 4
     mbh = (h + 15) >> 4
     assert len(mbs) == mbw * mbh
+    assert n_parts in (1, 2, 4, 8)
 
     be = BoolEncoder()
     be.put_flag(0)  # color space
     be.put_flag(0)  # clamping
-    be.put_flag(0)  # segmentation
+    if segments is None:
+        be.put_flag(0)  # segmentation disabled
+    else:
+        be.put_flag(1)
+        be.put_flag(1)  # update map
+        be.put_flag(1)  # update data
+        be.put_flag(1 if segments.get("abs") else 0)
+        for qv in segments["quant"]:
+            if qv or segments.get("abs"):
+                be.put_flag(1)
+                be.put_literal(abs(qv), 7)
+                be.put_flag(1 if qv < 0 else 0)
+            else:
+                be.put_flag(0)
+        for lv in segments["lf"]:
+            if lv or segments.get("abs"):
+                be.put_flag(1)
+                be.put_literal(abs(lv), 6)
+                be.put_flag(1 if lv < 0 else 0)
+            else:
+                be.put_flag(0)
+        for _ in range(3):  # tree probs: keep the 255 default? use 128
+            be.put_flag(1)
+            be.put_literal(128, 8)
     be.put_flag(1 if filter_type else 0)
     be.put_literal(filter_level, 6)
     be.put_literal(sharpness, 3)
     be.put_flag(0)  # lf deltas
-    be.put_literal(0, 2)  # log2(n_parts) = 0 -> 1 partition
+    be.put_literal({1: 0, 2: 1, 4: 2, 8: 3}[n_parts], 2)
     be.put_literal(y_ac_qi, 7)
     for _ in range(5):  # y1dc, y2dc, y2ac, uvdc, uvac deltas absent
         be.put_flag(0)
@@ -251,6 +284,11 @@ def encode_vp8_frame(w: int, h: int, mbs, y_ac_qi: int = 4,
         left_sub = [0] * 4
         for mb_x in range(mbw):
             mb = mbs[mb_y * mbw + mb_x]
+            if segments is not None:
+                sid = mb.get("seg", 0)
+                # segment tree {2,4,-0,-1,-2,-3}, probs fixed at 128
+                be.put_bit(1 if sid >= 2 else 0, 128)
+                be.put_bit(sid & 1, 128)
             be.put_bit(1 if mb.get("skip") else 0, 128)
             ymode = mb["ymode"]
             be.put_tree(_KF_YMODE_TREE, KF_YMODE_PROB, ymode)
@@ -272,10 +310,11 @@ def encode_vp8_frame(w: int, h: int, mbs, y_ac_qi: int = 4,
             be.put_tree(_UV_MODE_TREE, KF_UV_MODE_PROB, mb["uvmode"])
     part0 = be.flush()
 
-    # token partition
-    te = BoolEncoder()
+    # token partitions (MB row r -> encoder r % n_parts)
+    tes = [BoolEncoder() for _ in range(n_parts)]
     above_nz = [[0] * 9 for _ in range(mbw)]
     for mb_y in range(mbh):
+        te = tes[mb_y % n_parts]
         left_nz = [0] * 9
         for mb_x in range(mbw):
             mb = mbs[mb_y * mbw + mb_x]
@@ -317,7 +356,11 @@ def encode_vp8_frame(w: int, h: int, mbs, y_ac_qi: int = 4,
                         _put_tokens(te, COEFF_PROBS[2], ctx, 0, lv)
                         nz = 1 if any(lv) else 0
                         anz[ai] = left_nz[li] = nz
-    tokens = te.flush()
+    parts = [t.flush() for t in tes]
+    sizes = b"".join(
+        len(p).to_bytes(3, "little") for p in parts[:-1]
+    )
+    tokens = sizes + b"".join(parts)
 
     part0_size = len(part0)
     tag = (part0_size << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
