@@ -347,6 +347,59 @@ def test_segmentation_vs_libwebp():
         )
 
 
+def test_anim_lossy_frame_pure_python():
+    """Animated WebP whose second frame is LOSSY VP8 (crafted by the
+    pure-Python encoder) — the ANMF compositor must decode it without
+    libwebp: frame 1 lossless base, frame 2 a full-canvas lossy
+    overwrite that matches a standalone decode of the same payload."""
+    import struct as _s
+
+    from text_dedup_spark.sources.vp8_enc import encode_webp_lossy
+    from text_dedup_spark.sources.vp8l import (
+        _walk_chunks,
+        decode_webp,
+        decode_webp_frames,
+        encode_vp8l,
+    )
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    lossy_whole = encode_webp_lossy(base, 10)
+    expected_lossy = decode_webp(lossy_whole)
+
+    def sub_chunk(container, want):
+        for tag, payload in _walk_chunks(container):
+            if tag == want:
+                sub = tag + _s.pack("<I", len(payload)) + payload
+                return sub + (b"\x00" if len(payload) % 2 else b"")
+        raise AssertionError(want)
+
+    def anmf(img_chunk, w, h):
+        head = (
+            (0).to_bytes(3, "little") * 2
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + (40).to_bytes(3, "little")
+            + bytes([0x02])
+        )
+        body = head + img_chunk
+        chunk = b"ANMF" + _s.pack("<I", len(body)) + body
+        return chunk + (b"\x00" if len(body) % 2 else b"")
+
+    vp8x = bytes([0x02, 0, 0, 0]) + (15).to_bytes(3, "little") + (
+        15
+    ).to_bytes(3, "little")
+    chunks = b"VP8X" + _s.pack("<I", len(vp8x)) + vp8x
+    chunks += anmf(sub_chunk(encode_vp8l(base), b"VP8L"), 16, 16)
+    chunks += anmf(sub_chunk(lossy_whole, b"VP8 "), 16, 16)
+    data = b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    frames = decode_webp_frames(data)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][..., :3], base)
+    assert np.array_equal(frames[1][..., :3], expected_lossy)
+
+
 def test_mangle_fuzz_flag_safety():
     """Mangled lossy streams must feed the flag policy (None), never a
     stray exception — the same closed-exception-set contract every other
