@@ -1,0 +1,321 @@
+"""Stubs that let the ACTUAL reference modules import and run in this
+sandbox (their deps — bitarray, xxhash, datasets, tqdm, rich — are not
+installed here).
+
+The point is to EXECUTE the reference's own code, so the stubs are kept
+as thin as possible:
+
+- ``bitarray``: a faithful pure-Python re-implementation of the subset
+  the reference's simhash.py uses (MSB-first bit order, elementwise
+  shifts toward index 0, slice assignment, frombytes/tobytes/pack,
+  util.int2ba/ba2int/urandom).  Its semantics are validated two ways in
+  tests/test_reference_executed_kernels.py: against an independent
+  list-of-bits model on randomized operations, and against the
+  reference's own embedded doctest vectors (the compute() golden
+  74633958390507528, the hamming examples).
+- ``xxhash``: backed by this repo's spec-ported kernels
+  (`kernel/xxh.py` xxh64_digest / xxh3_128_digest, both golden-pinned to
+  the published XXH test vectors and to ``python-xxhash``'s big-endian
+  ``digest()`` byte order).
+- ``datasets`` / ``tqdm``: import-time no-ops (the reference only calls
+  them in its ``__main__`` I/O path, which these tests do not run).
+- ``text_dedup`` package: a synthesized package whose ``utils`` exposes
+  the REAL reference files (`utils/union_find.py`,
+  `utils/tokenization.py`, loaded by path) plus no-op arg-builder and
+  Timer shims; ``logger`` is a plain stdlib logger (the real one only
+  adds a rich handler).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import logging
+import random as _random
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference/text_dedup"
+
+
+# ---------------------------------------------------------------------------
+# bitarray stub: MSB-first, value held as an int where array index 0 is the
+# most significant bit of ``_v`` (width ``_n``).
+# ---------------------------------------------------------------------------
+
+
+class bitarray:
+    __slots__ = ("_v", "_n")
+
+    def __init__(self, arg=None, buffer=None):
+        if buffer is not None:
+            self._n = 8 * len(buffer)
+            self._v = int.from_bytes(buffer, "big")
+            return
+        if arg is None:
+            self._v, self._n = 0, 0
+        elif isinstance(arg, int):
+            self._v, self._n = 0, arg
+        elif isinstance(arg, str):
+            bits = arg.replace(" ", "")
+            self._n = len(bits)
+            self._v = int(bits, 2) if bits else 0
+        elif isinstance(arg, bitarray):
+            self._v, self._n = arg._v, arg._n
+        else:  # iterable of 0/1
+            bits = [1 if b else 0 for b in arg]
+            self._n = len(bits)
+            self._v = int("".join(map(str, bits)), 2) if bits else 0
+
+    # -- helpers ----------------------------------------------------------
+    @property
+    def _mask(self) -> int:
+        return (1 << self._n) - 1
+
+    def _check(self, other: "bitarray"):
+        if self._n != other._n:
+            raise ValueError("bitarray size mismatch")
+
+    # -- content ----------------------------------------------------------
+    def setall(self, value) -> None:
+        self._v = self._mask if value else 0
+
+    def frombytes(self, data: bytes) -> None:
+        self._v = (self._v << (8 * len(data))) | int.from_bytes(data, "big")
+        self._n += 8 * len(data)
+
+    def tobytes(self) -> bytes:
+        nbytes = (self._n + 7) // 8
+        pad = 8 * nbytes - self._n  # real bitarray zero-pads at the END
+        return (self._v << pad).to_bytes(nbytes, "big")
+
+    def pack(self, data: bytes) -> None:
+        # one bit appended per BYTE of ``data`` (bitarray.pack contract)
+        for byte in data:
+            self._v = (self._v << 1) | (1 if byte else 0)
+            self._n += 1
+
+    def tolist(self):
+        return [(self._v >> (self._n - 1 - i)) & 1 for i in range(self._n)]
+
+    def count(self, value=1) -> int:
+        ones = bin(self._v).count("1")
+        return ones if value else self._n - ones
+
+    # -- indexing ---------------------------------------------------------
+    def _posrange(self, sl: slice):
+        return range(*sl.indices(self._n))
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            out = bitarray(0)
+            for i in self._posrange(idx):
+                out._v = (out._v << 1) | ((self._v >> (self._n - 1 - i)) & 1)
+                out._n += 1
+            return out
+        if idx < 0:
+            idx += self._n
+        return (self._v >> (self._n - 1 - idx)) & 1
+
+    def __setitem__(self, idx, value):
+        positions = self._posrange(idx) if isinstance(idx, slice) else [idx]
+        for i in positions:
+            if i < 0:
+                i += self._n
+            bit = 1 << (self._n - 1 - i)
+            if value:
+                self._v |= bit
+            else:
+                self._v &= ~bit
+
+    # -- operators (elementwise; shifts move toward index 0 for <<) --------
+    def __and__(self, other):
+        self._check(other)
+        return _from_int(self._v & other._v, self._n)
+
+    def __or__(self, other):
+        self._check(other)
+        return _from_int(self._v | other._v, self._n)
+
+    def __xor__(self, other):
+        self._check(other)
+        return _from_int(self._v ^ other._v, self._n)
+
+    def __ior__(self, other):
+        self._check(other)
+        self._v |= other._v
+        return self
+
+    def __lshift__(self, n: int):
+        return _from_int((self._v << n) & self._mask, self._n)
+
+    def __rshift__(self, n: int):
+        return _from_int(self._v >> n, self._n)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, bitarray)
+            and self._n == other._n
+            and self._v == other._v
+        )
+
+    def __len__(self):
+        return self._n
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"bitarray('{format(self._v, f'0{self._n}b') if self._n else ''}')"
+
+
+def _from_int(v: int, n: int) -> "bitarray":
+    out = bitarray(n)
+    out._v = v
+    return out
+
+
+class frozenbitarray(bitarray):
+    def __hash__(self):
+        return hash((self._n, self._v))
+
+
+def _int2ba(value: int, length: int | None = None) -> bitarray:
+    if length is None:
+        length = max(1, value.bit_length())
+    return _from_int(value, length)
+
+
+def _ba2int(ba: bitarray) -> int:
+    return ba._v
+
+
+def _urandom(n: int) -> bitarray:
+    return _from_int(_random.getrandbits(n) if n else 0, n)
+
+
+# ---------------------------------------------------------------------------
+# module installers
+# ---------------------------------------------------------------------------
+
+
+def _install_bitarray():
+    if "bitarray" in sys.modules and not getattr(
+        sys.modules["bitarray"], "__refstub__", False
+    ):  # pragma: no cover - real package present
+        return
+    mod = types.ModuleType("bitarray")
+    mod.__refstub__ = True
+    mod.bitarray = bitarray
+    mod.frozenbitarray = frozenbitarray
+    util = types.ModuleType("bitarray.util")
+    util.int2ba = _int2ba
+    util.ba2int = _ba2int
+    util.urandom = _urandom
+    mod.util = util
+    sys.modules["bitarray"] = mod
+    sys.modules["bitarray.util"] = util
+
+
+def _install_xxhash():
+    if "xxhash" in sys.modules:
+        return
+    from text_dedup_spark.kernel.xxh import xxh3_128_digest, xxh64_digest
+
+    class _Digest:
+        def __init__(self, data: bytes):
+            self._data = data
+
+        def digest(self) -> bytes:
+            return self._data
+
+    mod = types.ModuleType("xxhash")
+    mod.xxh64 = lambda obj, seed=0: _Digest(xxh64_digest(obj, seed))
+    mod.xxh128 = lambda obj, seed=0: _Digest(xxh3_128_digest(obj, seed))
+    sys.modules["xxhash"] = mod
+
+
+def _install_misc():
+    if "tqdm" not in sys.modules:
+        t = types.ModuleType("tqdm")
+        t.tqdm = lambda it=None, *a, **k: it
+        sys.modules["tqdm"] = t
+    if "datasets" not in sys.modules:
+        d = types.ModuleType("datasets")
+        d.logging = types.SimpleNamespace(set_verbosity_error=lambda: None)
+        d.load_dataset = d.load_from_disk = lambda *a, **k: None
+        sys.modules["datasets"] = d
+
+
+def _load_by_path(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _install_text_dedup_pkg():
+    if "text_dedup" in sys.modules:
+        return
+    pkg = types.ModuleType("text_dedup")
+    pkg.__path__ = []
+    pkg.logger = logging.getLogger("reference")
+    sys.modules["text_dedup"] = pkg
+
+    uf = _load_by_path(
+        "text_dedup.utils.union_find", f"{REFERENCE_ROOT}/utils/union_find.py"
+    )
+    tok = _load_by_path(
+        "text_dedup.utils.tokenization", f"{REFERENCE_ROOT}/utils/tokenization.py"
+    )
+
+    class _Timer:
+        def __init__(self):
+            self.elapsed_times = {}
+
+        def __call__(self, _name):
+            return self
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    utils = types.ModuleType("text_dedup.utils")
+    utils.UnionFind = uf.UnionFind
+    utils.ngrams = tok.ngrams
+    for name in (
+        "add_io_args",
+        "add_meta_args",
+        "add_minhash_args",
+        "add_simhash_args",
+        "add_sa_args",
+        "add_exact_hash_args",
+        "add_bloom_filter_args",
+    ):
+        setattr(utils, name, lambda parser: parser)
+    timer_mod = types.ModuleType("text_dedup.utils.timer")
+    timer_mod.Timer = _Timer
+    utils.timer = timer_mod
+    utils.Timer = _Timer
+    pkg.utils = utils
+    sys.modules["text_dedup.utils"] = utils
+    sys.modules["text_dedup.utils.timer"] = timer_mod
+
+
+def install_reference_stubs():
+    _install_misc()
+    _install_bitarray()
+    _install_xxhash()
+    _install_text_dedup_pkg()
+
+
+def load_reference_module(filename: str):
+    """Import ``/root/reference/text_dedup/<filename>`` with stubs in place.
+
+    The returned module is the reference's actual code object-for-object;
+    only its import-time third-party deps are substituted.
+    """
+    install_reference_stubs()
+    name = f"ref_{filename.removesuffix('.py')}"
+    if name in sys.modules:
+        return sys.modules[name]
+    return _load_by_path(name, f"{REFERENCE_ROOT}/{filename}")
