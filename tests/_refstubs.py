@@ -231,6 +231,48 @@ def _install_xxhash():
     sys.modules["xxhash"] = mod
 
 
+class FakeDataset:
+    """Minimal in-memory stand-in for the huggingface ``Dataset`` surface
+    the reference's __main__ blocks touch: len, batched slicing returning
+    a column dict, ``filter(fn, with_indices=True)``, ``save_to_disk``."""
+
+    def __init__(self, columns: dict):
+        self.columns = {k: list(v) for k, v in columns.items()}
+        self.saved_to = None
+
+    def __len__(self):
+        lens = {len(v) for v in self.columns.values()}
+        return lens.pop() if lens else 0
+
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            return {k: v[idx] for k, v in self.columns.items()}
+        return {k: v[idx] for k, v in self.columns.items()}
+
+    def _rows(self):
+        keys = list(self.columns)
+        for i in range(len(self)):
+            yield {k: self.columns[k][i] for k in keys}
+
+    def filter(self, fn, with_indices=False, num_proc=None, **_kw):
+        keep = [
+            fn(row, i) if with_indices else fn(row)
+            for i, row in enumerate(self._rows())
+        ]
+        return FakeDataset(
+            {k: [x for x, f in zip(v, keep) if f] for k, v in self.columns.items()}
+        )
+
+    def save_to_disk(self, path):
+        self.saved_to = path
+        _DATASET_HOOK["saved"] = self
+
+
+# tests place the dataset that ``datasets.load_dataset`` should hand the
+# reference's __main__ here, and read the ``save_to_disk`` result back.
+_DATASET_HOOK: dict = {}
+
+
 def _install_misc():
     if "tqdm" not in sys.modules:
         t = types.ModuleType("tqdm")
@@ -239,7 +281,9 @@ def _install_misc():
     if "datasets" not in sys.modules:
         d = types.ModuleType("datasets")
         d.logging = types.SimpleNamespace(set_verbosity_error=lambda: None)
-        d.load_dataset = d.load_from_disk = lambda *a, **k: None
+        d.load_dataset = lambda *a, **k: _DATASET_HOOK.get("ds")
+        d.load_from_disk = lambda *a, **k: _DATASET_HOOK.get("ds")
+        d.Dataset = FakeDataset
         sys.modules["datasets"] = d
 
 
@@ -259,25 +303,19 @@ def _install_text_dedup_pkg():
     pkg.logger = logging.getLogger("reference")
     sys.modules["text_dedup"] = pkg
 
+    # the real reference files — all dependency-free
     uf = _load_by_path(
         "text_dedup.utils.union_find", f"{REFERENCE_ROOT}/utils/union_find.py"
     )
     tok = _load_by_path(
         "text_dedup.utils.tokenization", f"{REFERENCE_ROOT}/utils/tokenization.py"
     )
-
-    class _Timer:
-        def __init__(self):
-            self.elapsed_times = {}
-
-        def __call__(self, _name):
-            return self
-
-        def __enter__(self):
-            return self
-
-        def __exit__(self, *exc):
-            return False
+    add_args = _load_by_path(
+        "text_dedup.utils.add_args", f"{REFERENCE_ROOT}/utils/add_args.py"
+    )
+    timer_mod = _load_by_path(
+        "text_dedup.utils.timer", f"{REFERENCE_ROOT}/utils/timer.py"
+    )
 
     utils = types.ModuleType("text_dedup.utils")
     utils.UnionFind = uf.UnionFind
@@ -291,14 +329,11 @@ def _install_text_dedup_pkg():
         "add_exact_hash_args",
         "add_bloom_filter_args",
     ):
-        setattr(utils, name, lambda parser: parser)
-    timer_mod = types.ModuleType("text_dedup.utils.timer")
-    timer_mod.Timer = _Timer
+        setattr(utils, name, getattr(add_args, name))
     utils.timer = timer_mod
-    utils.Timer = _Timer
+    utils.Timer = timer_mod.Timer
     pkg.utils = utils
     sys.modules["text_dedup.utils"] = utils
-    sys.modules["text_dedup.utils.timer"] = timer_mod
 
 
 def install_reference_stubs():

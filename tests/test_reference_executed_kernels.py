@@ -257,3 +257,52 @@ def test_clean_up_matches_reference_execution():
         segs = _rand_segments(rng, max(1, len(text)), rng.randint(0, 6))
         theirs = ref.clean_up(text, [slice(s, e) for s, e in segs])
         assert theirs == k_intervals.clean_up(text, segs)
+
+
+# ---------------------------------------------------------------------------
+# exact-hash: execute the reference's actual __main__ (exact_hash.py:19-73)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_hash_main_matches_engine(spark, tmp_path):
+    """The reference's exact_hash.py has no importable functions — its whole
+    pipeline is the __main__ block. Execute that block itself via runpy
+    (datasets.load_dataset returns an in-memory Dataset shim; the real
+    add_args/Timer/logger load from the reference) and compare its
+    keep-first-in-order survivors with this engine's md5 exact_dedup
+    (min-id survivor == first occurrence when ids are dataset order)."""
+    import runpy
+    import sys as _sys
+
+    from tests import _refstubs
+    from text_dedup_spark.operators.exact import exact_dedup
+
+    _refstubs.install_reference_stubs()
+    from tests.conftest import synth_corpus
+
+    texts = [t for _, t in synth_corpus(150, seed=5, dup_frac=0.4)]
+    _refstubs._DATASET_HOOK["ds"] = _refstubs.FakeDataset({"text": texts})
+    _refstubs._DATASET_HOOK.pop("saved", None)
+    argv = [
+        "exact_hash",
+        "--path", "in-memory",
+        "--output", str(tmp_path / "out"),
+        "--column", "text",
+        "--batch_size", "64",
+    ]
+    old_argv = _sys.argv
+    _sys.argv = argv
+    try:
+        runpy.run_path(
+            f"{_refstubs.REFERENCE_ROOT}/exact_hash.py", run_name="__main__"
+        )
+    finally:
+        _sys.argv = old_argv
+    saved = _refstubs._DATASET_HOOK["saved"]
+    assert saved.saved_to == str(tmp_path / "out")
+    ref_survivors = saved.columns["text"]
+    assert 0 < len(ref_survivors) < len(texts)  # dedup actually happened
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    ours = exact_dedup(df, "text", id_col="doc_id").orderBy("doc_id").collect()
+    assert [r["text"] for r in ours] == ref_survivors
