@@ -225,7 +225,14 @@ def _install_xxhash():
         def digest(self) -> bytes:
             return self._data
 
+        def intdigest(self) -> int:
+            return int.from_bytes(self._data, "big")
+
     mod = types.ModuleType("xxhash")
+    # marker so tests that want to compare against the REAL xxhash package
+    # (tests/test_exact_and_simhash.py) can tell this substitute apart and
+    # keep skipping — comparing the kernel against itself proves nothing.
+    mod.__refstub__ = True
     mod.xxh64 = lambda obj, seed=0: _Digest(xxh64_digest(obj, seed))
     mod.xxh128 = lambda obj, seed=0: _Digest(xxh3_128_digest(obj, seed))
     sys.modules["xxhash"] = mod

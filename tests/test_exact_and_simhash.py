@@ -140,6 +140,13 @@ def test_xxh3_128_matches_real_lib_if_available():
         import pytest as _pytest
 
         _pytest.skip("xxhash package not installed in this environment")
+    if getattr(xxhash, "__refstub__", False):
+        # tests/_refstubs.py may have installed its kernel-backed substitute
+        # (it feeds the reference modules); comparing the kernel against
+        # itself would be circular, so this external check still skips.
+        import pytest as _pytest
+
+        _pytest.skip("only the _refstubs xxhash substitute is present")
     import random as _r
 
     from text_dedup_spark.kernel.xxh import xxh3_128_int
