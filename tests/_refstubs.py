@@ -216,6 +216,15 @@ def _install_bitarray():
 def _install_xxhash():
     if "xxhash" in sys.modules:
         return
+    try:
+        # Prefer the REAL python-xxhash package whenever it is installed,
+        # even if nothing imported it yet — running the reference against
+        # this repo's own xxh kernel would make the parity partially
+        # circular in such an environment (ADVICE r3).
+        importlib.import_module("xxhash")
+        return
+    except ImportError:
+        pass
     from text_dedup_spark.kernel.xxh import xxh3_128_digest, xxh64_digest
 
     class _Digest:
@@ -298,7 +307,13 @@ def _load_by_path(name: str, path: str):
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[name] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except BaseException:
+        # Never cache a half-initialized module: a later call must re-raise
+        # the real error, not surface confusing AttributeErrors (ADVICE r3).
+        sys.modules.pop(name, None)
+        raise
     return mod
 
 
@@ -348,6 +363,19 @@ def install_reference_stubs():
     _install_bitarray()
     _install_xxhash()
     _install_text_dedup_pkg()
+
+
+def bitarray_impl():
+    """Return the ``(bitarray, frozenbitarray, util)`` implementation the
+    reference actually holds after stub install — the real package when it
+    is importable, else the stub.  Tests must construct bit arrays through
+    this (not by importing the stub classes directly) so test-side and
+    reference-side instances always share ONE implementation; cross-type
+    ``^``/``==`` between a real and a stub bitarray would silently compare
+    unequal (ADVICE r3)."""
+    install_reference_stubs()
+    mod = sys.modules["bitarray"]
+    return mod.bitarray, mod.frozenbitarray, sys.modules["bitarray.util"]
 
 
 def load_reference_module(filename: str):

@@ -25,13 +25,14 @@ import random
 
 import pytest
 
-from tests._refstubs import (
-    _ba2int,
-    _int2ba,
-    bitarray,
-    frozenbitarray,
-    load_reference_module,
-)
+from tests._refstubs import bitarray_impl, load_reference_module
+
+# Resolve bitarray through the SAME module object the reference holds
+# after stub install (real package if present, stub otherwise) — direct
+# stub-class imports could diverge from the reference's instances when a
+# real bitarray is installed (ADVICE r3).
+bitarray, frozenbitarray, _ba_util = bitarray_impl()
+_int2ba, _ba2int = _ba_util.int2ba, _ba_util.ba2int
 from text_dedup_spark.config import SimHashConfig
 from text_dedup_spark.kernel import intervals as k_intervals
 from text_dedup_spark.kernel import simhash as k_simhash
@@ -85,11 +86,24 @@ def test_bitarray_stub_matches_naive_model():
         c = a.to_stub()
         c[lo:hi] = 1
         assert c.tolist() == a.bits[:lo] + [1] * (hi - lo) + a.bits[lo:][hi - lo :]
-        # byte round trip (whole bytes only: tobytes zero-pads the tail)
-        if n % 8 == 0:
-            rt = bitarray()
-            rt.frombytes(sa.tobytes())
-            assert rt == sa
+        # slice assignment to 0 — the reference's Permutation uses both
+        # setall(0) and slice=1; cover the clearing direction too
+        z = a.to_stub()
+        z[lo:hi] = 0
+        assert z.tolist() == a.bits[:lo] + [0] * (hi - lo) + a.bits[lo:][hi - lo :]
+        # pack(): one bit per BYTE of input (reference compute() uses it)
+        payload = bytes(rng.randrange(256) for _ in range(rng.randint(0, 9)))
+        p = a.to_stub()
+        p.pack(payload)
+        assert p.tolist() == a.bits + [1 if byte else 0 for byte in payload]
+        # tobytes at ANY length zero-pads the tail to a whole byte;
+        # frombytes APPENDS onto a non-empty, possibly unaligned array
+        raw = sa.tobytes()
+        assert len(raw) == (n + 7) // 8
+        rt = a.to_stub()  # non-empty target
+        rt.frombytes(raw)
+        expect_appended = a.bits + a.bits + [0] * (8 * len(raw) - n)
+        assert rt.tolist() == expect_appended
 
 
 def test_stub_reproduces_reference_doctests():
