@@ -1047,6 +1047,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exif_scrub": q_image_exif_scrub,
         "image_modality_audit": q_image_modality_audit,
         "image_crop_matches": q_image_crop_matches,
+        # early slot deliberately: r3's driver recorded exactly 50 of 51
+        # defined queries and this one — then the dict's last entry — got
+        # no row; the contract is trimmed to 50 entries and the per-row
+        # fidelity witness sits with the other image queries.
+        "image_fidelity": q_image_fidelity,
         "lang_summary": q_lang_summary,
         "events_hourly": q_events_hourly,
         "top_users_by_events": q_top_users_by_events,
@@ -1060,8 +1065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verified_pairs": q_jaccard_verified_pairs,
         "suffix_cleaned": q_suffix_cleaned,
         "langid_counts": q_langid_counts,
+        # ann_ivf_topk retired from the board to keep the contract at 50
+        # entries (driver cap observed in r3): IVF's evidence lives in
+        # tests/test_pq.py and the scale path it feeds (ann_ivfpq_topk)
+        # stays on the board.
         "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "shingle_stats": q_shingle_stats,
         "jaccard_exact_pairs": q_jaccard_exact_pairs,
@@ -1080,7 +1088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental": q_iceberg_incremental,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
-        "image_fidelity": q_image_fidelity,
     }
 
 
@@ -1729,4 +1736,61 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)::DOUBLE / sum(n)), 6) AS dup_ratio
             FROM per_hash GROUP BY lang
         """,
+        **_kernel_board_oracles(),
+    }
+
+
+def _kernel_board_oracles() -> dict[str, str]:
+    """Constructed oracles for the kernel queries that were rows-only
+    through r3 (VERDICT r3 'Next round' #2): expected row sets computed by
+    the single-node brute-force path in kernel/oracle_values.py — explicit
+    per-bucket pair enumeration + UnionFind / single-stream suffix scan,
+    with no Spark machinery — and pinned as DuckDB VALUES.  The driver's
+    correctness gate runs at sf0.01; SPARK_GRAFT_SF_DIR keeps the local
+    checker (tools/check_correctness.py) consistent at other scales.
+
+    Reference anchors: these are exactly the clusters the reference's
+    minhash_spark.py:381-392 and simhash.py:353-400 produce on this corpus
+    — the brute-force path is itself proven bit-identical to the EXECUTED
+    reference kernels in tests/test_reference_parity.py and
+    tests/test_reference_executed_kernels.py."""
+    from text_dedup_spark.kernel import oracle_values as ov
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    tail = " appended tail marker"
+    mh_assign, mh_survive = ov.minhash_board_rows(
+        sf, ID_SHIFT, tail,
+        MINHASH_CFG.ngram_size, MINHASH_CFG.num_perm, MINHASH_CFG.threshold,
+    )
+    ids2 = [("doc_id", "BIGINT"), ("component", "BIGINT")]
+    return {
+        "minhash_assignments": ov.values_sql(mh_assign, ids2),
+        "minhash_survivors": ov.values_sql(mh_survive, [("doc_id", "BIGINT")]),
+        "simhash_assignments": ov.values_sql(
+            ov.simhash_board_rows(
+                sf, ID_SHIFT, tail, SIMHASH_CFG.f, SIMHASH_CFG.bit_diff,
+                SIMHASH_CFG.num_bucket, SIMHASH_CFG.ngram,
+            ),
+            ids2,
+        ),
+        # cfg literals must match q_simhash128_assignments
+        "simhash128_assignments": ov.values_sql(
+            ov.simhash_board_rows(sf, ID_SHIFT, tail, 128, 6, 8, 3), ids2
+        ),
+        "jaccard_verified_pairs": ov.values_sql(
+            ov.jaccard_verified_rows(
+                sf, ID_SHIFT, tail,
+                MINHASH_CFG.ngram_size, MINHASH_CFG.num_perm,
+                MINHASH_CFG.threshold, 5, 0.7,
+            ),
+            [("src", "BIGINT"), ("dst", "BIGINT"), ("jaccard", "DOUBLE")],
+        ),
+        "langid_counts": ov.values_sql(
+            ov.langid_count_rows(sf),
+            [("detected", "VARCHAR"), ("n_docs", "BIGINT")],
+        ),
+        "suffix_cleaned": ov.values_sql(
+            ov.suffix_cleaned_rows(sf, ID_SHIFT, 100),
+            [("doc_id", "BIGINT"), ("text", "VARCHAR"), ("dup_bytes", "BIGINT")],
+        ),
     }
