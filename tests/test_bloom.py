@@ -179,3 +179,45 @@ def test_sharded_bloom_empty_history_and_empty_shards(spark):
         for r in exact_dedup_against_history_sharded(mixed, hashes, "text", sb2).collect()
     }
     assert got == {r[0] for r in _docs(50, "x", 5)}
+
+
+def test_auto_n_shards_rule():
+    from text_dedup_spark.operators.bloom import (
+        DRIVER_SKETCH_MAX_EXPECTED,
+        auto_n_shards,
+    )
+
+    # driver-merged up to the documented threshold
+    assert auto_n_shards(1) == 0
+    assert auto_n_shards(DRIVER_SKETCH_MAX_EXPECTED) == 0
+    # sharded above it, never fewer than 8 shards
+    assert auto_n_shards(DRIVER_SKETCH_MAX_EXPECTED + 1) == 8
+    # ~25M expected values per shard at the 10^9/10^10 scales
+    assert auto_n_shards(1_000_000_000) == 40
+    assert auto_n_shards(10_000_000_000) == 400
+
+
+def test_dedup_against_history_front_door_both_paths(spark):
+    """The auto front door's output is path-independent and equals the
+    plain anti-join truth (n_shards=0 driver-merged vs pinned sharded)."""
+    from text_dedup_spark.operators.bloom import dedup_against_history
+
+    hist = spark.createDataFrame(_docs(300, "hist", 21), "doc_id long, text string")
+    novel = spark.createDataFrame(_docs(80, "new", 22), "doc_id long, text string")
+    dups = hist.where("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    new = novel.unionByName(dups)
+
+    truth = {
+        r["doc_id"]
+        for r in new.join(hist.select("text"), "text", "left_anti").collect()
+    }
+    for n_shards in (None, 0, 4):
+        got = {
+            r["doc_id"]
+            for r in dedup_against_history(
+                new, hist, "text", n_shards=n_shards
+            ).collect()
+        }
+        assert got == truth, f"n_shards={n_shards}"

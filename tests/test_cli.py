@@ -312,3 +312,29 @@ def test_cli_image_dedup_one_shot(spark, tmp_path):
           "--phash_source", "pixels", "--pixel_embedding_eps", "0.995"])
     kept = spark.read.parquet(f"{out}/kept").count()
     assert 0 < kept < 100  # planted duplicate slots removed
+
+
+def test_cli_bloom(spark, corpus_path, tmp_path):
+    """`bloom` subcommand: incremental dedup vs a history corpus; output
+    equals the plain anti-join truth on both sketch layouts."""
+    hist_path = str(tmp_path / "hist")
+    new_path = str(tmp_path / "new")
+    corpus = spark.read.parquet(corpus_path)
+    hist = corpus.where("doc_id % 3 != 0")
+    hist.write.mode("overwrite").parquet(hist_path)
+    novel = corpus.where("doc_id % 3 = 0")
+    dups = hist.where("doc_id % 4 = 1").selectExpr("doc_id + 5000 AS doc_id", "text")
+    novel.unionByName(dups).write.mode("overwrite").parquet(new_path)
+
+    truth = {
+        r["doc_id"]
+        for r in spark.read.parquet(new_path)
+        .join(hist.select("text"), "text", "left_anti")
+        .collect()
+    }
+    for tag, extra in (("auto", []), ("sharded", ["--n_shards", "4"])):
+        out = str(tmp_path / f"out_{tag}")
+        _run(["bloom", "--input", new_path, "--history", hist_path,
+              "--output", out, "--column", "text", *extra])
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == truth, tag

@@ -387,6 +387,26 @@ def cmd_suffix(args) -> None:
         spark.stop()
 
 
+def cmd_bloom(args) -> None:
+    from .operators.bloom import dedup_against_history
+
+    spark, _own = _session("text-dedup-bloom")
+    new = _read(spark, args.input, getattr(args, "format", "parquet"))
+    history = _read(spark, args.history,
+                    getattr(args, "history_format", "parquet"))
+    out = dedup_against_history(
+        new,
+        history,
+        args.column,
+        expected=args.expected,
+        fpp=args.fpp,
+        n_shards=args.n_shards,
+    )
+    _write(out, args.output, args.output_format)
+    if _own:
+        spark.stop()
+
+
 def cmd_line_dedup(args) -> None:
     from .operators.ids import ID, assign_unique_ids
     from .operators.lines import dedup_lines
@@ -639,6 +659,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--global_scope", action="store_true")
     p.set_defaults(fn=cmd_suffix)
+
+    p = sub.add_parser(
+        "bloom",
+        help="incremental dedup vs a history corpus via Bloom pre-filter "
+        "(auto-selects the sharded executor-side sketch above 100M "
+        "expected history values; exact anti-join decides all hits)",
+    )
+    p.add_argument("--input", required=True, help="the NEW rows")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
+    p.add_argument("--history", required=True, help="already-ingested corpus")
+    p.add_argument("--history_format", default="parquet",
+                   choices=["parquet", "json", "csv", "text", "warc", "iceberg"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--output_format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--column", default="text")
+    p.add_argument("--expected", type=int, default=None,
+                   help="expected distinct history values (default: counted)")
+    p.add_argument("--fpp", type=float, default=0.01)
+    p.add_argument("--n_shards", type=int, default=None,
+                   help="None=auto (sharded above 100M expected, ~25M values "
+                   "per shard); 0 forces the driver-merged sketch; N pins "
+                   "the sharded layout")
+    p.set_defaults(fn=cmd_bloom)
 
     p = sub.add_parser(
         "line-dedup",

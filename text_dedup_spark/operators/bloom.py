@@ -253,6 +253,66 @@ def exact_dedup_against_history_sharded(
     return definite_new.unionByName(checked)
 
 
+# Above this expected-history size the driver-merged sketch is the wrong
+# default: m/8 bytes ~= 120 MB per 10^8 values at fpp=1% must be collected
+# to AND broadcast from the driver, and both costs keep growing linearly
+# with history while the sharded build's per-task bound stays constant.
+# Below it, the single broadcast sketch is cheaper (no cogroup shuffle).
+DRIVER_SKETCH_MAX_EXPECTED = 100_000_000
+
+# Sharded auto-sizing target: ~25M expected values per shard keeps each
+# task's bit array around 30 MB at fpp=1% — safely inside an executor's
+# working memory next to one Arrow probe batch.
+_SHARD_TARGET_EXPECTED = 25_000_000
+
+
+def auto_n_shards(expected: int) -> int:
+    """The documented default-at-scale rule: 0 (driver-merged sketch) up to
+    ``DRIVER_SKETCH_MAX_EXPECTED`` expected history values, else enough
+    shards for ~``_SHARD_TARGET_EXPECTED`` values (~30 MB of bits) each."""
+    if expected <= DRIVER_SKETCH_MAX_EXPECTED:
+        return 0
+    return max(8, -(-expected // _SHARD_TARGET_EXPECTED))
+
+
+def dedup_against_history(
+    new: DataFrame,
+    history: DataFrame,
+    text_col: str,
+    expected: int | None = None,
+    fpp: float = 0.01,
+    n_shards: int | None = None,
+    algo: str = "md5",
+) -> DataFrame:
+    """Front door for Bloom-pre-filtered incremental dedup: rows of ``new``
+    whose content hash does not appear in ``history``.
+
+    Dispatch rule (the at-scale default, VERDICT r3 #5): ``n_shards=None``
+    auto-selects — the driver-merged sketch up to
+    ``DRIVER_SKETCH_MAX_EXPECTED`` expected history values, the sharded
+    executor-side build above it (shard count sized so each task holds
+    ~30 MB of bits). Pass ``n_shards=0`` to force the driver-merged sketch,
+    or an explicit positive count to pin the sharded layout.
+
+    Semantics are identical on every path (the exact anti-join decides all
+    Bloom hits, so a false positive costs a probe, never a row) — proven
+    against plain anti-join oracles by ``bloom_dedup_vs_history`` and
+    ``bloom_sharded_dedup`` on the correctness board.
+    """
+    hashes = history_hashes(history, text_col, algo)
+    if expected is None:
+        expected = max(hashes.count(), 1)
+    if n_shards is None:
+        n_shards = auto_n_shards(expected)
+    if n_shards <= 0:
+        sketch = build_bloom(hashes, "__h__", expected=expected, fpp=fpp)
+        return exact_dedup_against_history(new, hashes, text_col, sketch, algo)
+    sb = build_bloom_sharded(
+        hashes, "__h__", expected=expected, fpp=fpp, n_shards=n_shards
+    )
+    return exact_dedup_against_history_sharded(new, hashes, text_col, sb, algo)
+
+
 def history_hashes(df: DataFrame, text_col: str, algo: str = "md5") -> DataFrame:
     """The one-column hash table the anti-join probes (write it as a
     checkpoint table next to the corpus; tiny relative to payloads)."""
