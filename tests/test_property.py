@@ -108,6 +108,19 @@ def test_xxh64_batch_equals_scalar(datas, seed):
     assert (got == ref).all()
 
 
+@given(st.lists(st.binary(min_size=32, max_size=400), max_size=12),
+       st.integers(0, 2**32))
+@settings(max_examples=100, deadline=None)
+def test_xxh64_batch_equals_scalar_long_inputs(datas, seed):
+    """>=32-byte inputs exercise the vectorized 4-accumulator stripe loop
+    (previously a scalar fallback — VERDICT r3 #4), including rows mixing
+    stripe counts inside one batch and stripe-aligned lengths."""
+    datas = datas + [b"x" * 32, b"y" * 64, b"z" * 95]
+    got = xxh64_batch(datas, seed)
+    ref = np.array([xxh64_int(d, seed) for d in datas], dtype=np.uint64)
+    assert (got == ref).all()
+
+
 # --- intervals --------------------------------------------------------------
 
 intervals = st.lists(
