@@ -73,6 +73,57 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _fused_star_round(a: DataFrame) -> DataFrame:
+    """small_star(large_star(a)) derived in ONE pass over a single directed
+    scan (VERDICT r3 #6) — algebraic fusion, not a new algorithm.
+
+    MEASURED DEAD END #3 (kept for the record like the two in the NOTES
+    below; default OFF). cc_lab on the 309944-edge merged 3-modality graph,
+    480k corpus, 8 pinned cores, interleaved A/B runs: classic 41 stages /
+    loop 11.5-14.0 s vs fused 56 stages / loop 18.2-24.9 s, identical
+    fingerprints, 12 jobs both. Why it loses: ``lg`` (the large-star edge
+    set) feeds two consumers (the mb aggregation and the join back), and
+    without a checkpoint that whole join lineage executes twice — exchange
+    reuse only deduplicates identical Exchange nodes, not the joined
+    subtree above them. Adding a lazy checkpoint on ``lg`` recreates
+    exactly the intermediate-``b`` materialization the fusion was meant to
+    remove. The classic two-phase round with a lazily-checkpointed ``b``
+    IS the fused plan with the common subexpression materialized once.
+
+    Derivation (row-set identical to the classic pair, pinned on
+    randomized graphs in tests/test_minhash_pipeline.py):
+
+    large-star emits (v, m_u) for v in N(u), v > u, where
+    m_u = min(N(u) ∪ {u}); every such edge is already (max, min)-oriented
+    because m_u <= u < v. small-star on that edge set therefore groups by
+    its v side directly: mb_v = min{m_u : u in N(v), u < v}, and the
+    outputs are (m_u, mb_v) for m_u != mb_v plus the center rows
+    (v, mb_v)."""
+    directed = a.select("u", "v").unionAll(
+        a.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("__mn__"))
+    mins = mins.select("u", F.least("__mn__", F.col("u")).alias("__m__"))
+    lg = (
+        directed.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("w"), F.col("__m__").alias("m"))
+    )
+    # min(N(w) ∪ {w}) over the large-star graph: every m < w, so the least()
+    # guard is only for parity with _small_star's general form
+    mbs = lg.groupBy("w").agg(F.min("m").alias("__mb__"))
+    mbs = mbs.select("w", F.least("__mb__", F.col("w")).alias("__b__"))
+    from_neighbors = (
+        lg.join(mbs, "w")
+        .where(F.col("m") != F.col("__b__"))
+        .select(F.col("m").alias("u"), F.col("__b__").alias("v"))
+    )
+    from_centers = mbs.where(F.col("w") != F.col("__b__")).select(
+        F.col("w").alias("u"), F.col("__b__").alias("v")
+    )
+    return from_neighbors.unionAll(from_centers).dropDuplicates(["u", "v"])
+
+
 def _small_star(edges: DataFrame) -> DataFrame:
     """a = small-star(b): orient to (max, min), emit (n, min) for n != min."""
     directed = edges.select(
@@ -157,6 +208,7 @@ def connected_components(
     id_col: str = ID,
     max_iterations: int = 64,
     pre_contract: int = 0,
+    fused: bool | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> assignments(id_col, component), roots absent.
 
@@ -173,8 +225,11 @@ def connected_components(
     Empty edge input returns an empty assignment frame (minhash_spark.py:382
     'No components found').
     """
+    import os as _os
     import time as _time
 
+    if fused is None:
+        fused = _os.environ.get("SPARK_GRAFT_CC_FUSED", "0") == "1"
     t0 = _time.monotonic()
     a = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     mapping: DataFrame | None = None
@@ -182,6 +237,7 @@ def connected_components(
         a, mapping = _pre_contract(a, pre_contract)
     a = a.localCheckpoint(eager=True)
     LAST_RUN_STATS["pre_contract_rounds"] = pre_contract
+    LAST_RUN_STATS["fused"] = fused
     LAST_RUN_STATS["edge_materialize_sec"] = round(_time.monotonic() - t0, 3)
     t0 = _time.monotonic()
 
@@ -230,14 +286,20 @@ def connected_components(
         # is consumed by several union branches of the same job, which
         # re-execute it before it is persisted — 48 stages vs 41 and +50%
         # loop wall.)
-        b = _large_star(a).localCheckpoint(eager=False)
-        new_a = _small_star(b).localCheckpoint(eager=True)
+        if fused:
+            # measured dead end, default OFF — see _fused_star_round
+            new_a = _fused_star_round(a).localCheckpoint(eager=True)
+            b = None
+        else:
+            b = _large_star(a).localCheckpoint(eager=False)
+            new_a = _small_star(b).localCheckpoint(eager=True)
         old_a = a
         a = new_a
         iterations += 1
         star = _is_star(a)
         old_a.unpersist()
-        b.unpersist()
+        if b is not None:
+            b.unpersist()
         if star:
             break
     else:

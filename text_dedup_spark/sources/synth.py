@@ -211,15 +211,29 @@ def _build(spark: SparkSession, n_rows: int, seed: int, which: str) -> DataFrame
     n_groups = (n_rows + 9) // 10
     schema = SCHEMA if which == "rows" else TRUTH_SCHEMA
 
+    cols = [f.name for f in schema.fields]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # flush at group boundaries every ~20k rows: one unbounded yield per
+        # input batch produced ~300 MB Arrow batches at multi-M-row scale,
+        # and 32 concurrent tasks then exhaust the JVM's direct-memory cap
+        # (netty OutOfDirectMemoryError). Bounded batches cost nothing and
+        # hold at any corpus size.
+        out = []
         for pdf in batches:
-            out = []
             for g in pdf["id"].tolist():
                 for row, truth in _group_rows(int(g), seed):
                     out.append(row if which == "rows" else truth)
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+                if len(out) >= 20_000:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
-    groups = spark.range(n_groups).repartition(max(2, min(64, n_groups)))
+    # ~1000 groups (10k rows) per partition, capped: the old flat cap of 64
+    # partitions made partition size grow linearly with the corpus
+    n_parts = max(2, min(1024, n_groups // 1000 + 1))
+    groups = spark.range(n_groups).repartition(n_parts)
     return groups.mapInPandas(gen, schema)
 
 
