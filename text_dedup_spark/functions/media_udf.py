@@ -8,9 +8,12 @@ and the most common ARCHIVAL formats of the other two modalities decode
 natively as well: RIFF/WAVE PCM audio (``decode_wav``, below), FLAC
 compressed audio (sources/flac.py, pure Python with the stream's own MD5
 as an intrinsic oracle), RIFF/AVI video with uncompressed-DIB or MJPEG
-frames (sources/avi.py), and animated GIF as a frame sequence
-(sources/gif.py). Only *lossy* audio (mp3/ogg) and inter-frame video
-codecs (H.26x/VPx) remain environment-gated:
+frames (sources/avi.py), animated GIF as a frame sequence
+(sources/gif.py), and IVF-contained VP8 video INCLUDING interframes
+(sources/vp8p.py: P-frame chains with motion compensation and
+last/golden/altref reference buffers — round 4). Only *lossy* audio
+(mp3/ogg) and the remaining inter-frame video codecs (H.26x, VP9) are
+environment-gated:
 
 - ``decode_audio`` / ``decode_video_frames`` raise ``NotImplementedError``
   for those unless a real backend (soundfile / av) is importable — the
@@ -190,6 +193,17 @@ def decode_video_frames(data: bytes) -> np.ndarray:
             from ..sources.vp8l import decode_webp_frames
 
             return np.stack([_to_gray(f) for f in decode_webp_frames(data)])
+        if data[:4] == b"DKIF":  # IVF-contained VP8: key + P-frame chains
+            from ..sources.avi import _to_gray
+            from ..sources.vp8 import yuv420_to_rgb
+            from ..sources.vp8p import decode_ivf_vp8
+
+            frames = decode_ivf_vp8(data)
+            if not frames:
+                raise ValueError("IVF stream with no shown frames")
+            return np.stack(
+                [_to_gray(yuv420_to_rgb(y, u, v)) for y, u, v in frames]
+            )
         if data[:4] == _FAKE_VIDEO_MAGIC:
             n, h, w = struct.unpack("<III", data[4:16])
             return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)

@@ -242,7 +242,8 @@ def _parse_header(bd: BoolDecoder) -> _Header:
     h.uvdc_delta = bd.get_signed(4) if bd.get_flag() else 0
     h.uvac_delta = bd.get_signed(4) if bd.get_flag() else 0
 
-    bd.get_flag()  # refresh_entropy_probs: irrelevant for a still image
+    # irrelevant for a still image; the sequence decoder (vp8p.py) needs it
+    h.refresh_entropy = bd.get_flag()
 
     probs = [
         [[list(COEFF_PROBS[t][b][c]) for c in range(3)] for b in range(8)]
@@ -494,6 +495,17 @@ def decode_vp8(data: bytes):
 
     ``data`` is the raw contents of a WebP ``VP8 `` chunk.  Raises
     ValueError on malformed or non-keyframe input."""
+    Y, U, V, _hdr, w, h = _decode_keyframe(data)
+    y = Y[1 : h + 1, 1 : w + 1].copy()
+    u = U[1 : (h + 1) // 2 + 1, 1 : (w + 1) // 2 + 1].copy()
+    v = V[1 : (h + 1) // 2 + 1, 1 : (w + 1) // 2 + 1].copy()
+    return y, u, v
+
+
+def _decode_keyframe(data: bytes):
+    """Keyframe decode returning the PADDED planes (1px prediction border,
+    MB-aligned) plus header and frame dims — the form the interframe
+    decoder (vp8p.py) needs for reference buffers."""
     if len(data) < 10:
         raise ValueError("VP8 payload too short")
     b0, b1, b2 = data[0], data[1], data[2]
@@ -511,6 +523,7 @@ def decode_vp8(data: bytes):
 
     bd = BoolDecoder(data[10 : 10 + part0_size])
     hdr = _parse_header(bd)
+    hdr.version = (b0 >> 1) & 7
 
     # Token partitions: (n-1) little-endian 3-byte sizes, then payloads.
     rest = data[10 + part0_size :]
@@ -714,10 +727,7 @@ def decode_vp8(data: bytes):
     if hdr.filter_level > 0:
         _loop_filter(Y, U, V, hdr, mbs, has_coeffs_all, mbw, mbh)
 
-    y = Y[1 : h + 1, 1 : w + 1].copy()
-    u = U[1 : (h + 1) // 2 + 1, 1 : (w + 1) // 2 + 1].copy()
-    v = V[1 : (h + 1) // 2 + 1, 1 : (w + 1) // 2 + 1].copy()
-    return y, u, v
+    return Y, U, V, hdr, w, h
 
 
 # --- loop filter (RFC 6386 sec 15) ---------------------------------------
@@ -841,17 +851,24 @@ def _simple_edge(plane, xs, ys, dx, n, limit):
             plane[r, c] = q0n
 
 
-def _loop_filter(Y, U, V, hdr, mbs, has_coeffs, mbw, mbh):
-    levels = _filter_levels(hdr)
+def _loop_filter(Y, U, V, hdr, mbs, has_coeffs, mbw, mbh, mb_levels=None):
+    """``mb_levels``: optional per-MB (f, il, hev, inner) list — the
+    interframe decoder (vp8p.py) passes levels with reference-frame and
+    mode loop-filter deltas applied; None = keyframe semantics from
+    ``mbs``."""
+    levels = _filter_levels(hdr) if mb_levels is None else None
     for mb_y in range(mbh):
         for mb_x in range(mbw):
             idx = mb_y * mbw + mb_x
-            seg, skip, ymode, sub, uvmode = mbs[idx]
-            is_b = ymode == B_PRED
-            f, il, hev = levels[(seg, is_b)]
+            if mb_levels is None:
+                seg, skip, ymode, sub, uvmode = mbs[idx]
+                is_b = ymode == B_PRED
+                f, il, hev = levels[(seg, is_b)]
+                inner = has_coeffs[idx] or is_b
+            else:
+                f, il, hev, inner = mb_levels[idx]
             if f == 0:
                 continue
-            inner = has_coeffs[idx] or is_b
             mb_lim = ((f + 2) * 2) + il
             sub_lim = (f * 2) + il
             px, py = 16 * mb_x + 1, 16 * mb_y + 1

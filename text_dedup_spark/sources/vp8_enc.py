@@ -565,3 +565,285 @@ def wrap_webp(vp8_payload: bytes) -> bytes:
     if len(vp8_payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + (len(chunk) + 4).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+# --- interframe (P-frame) writer (RFC 6386 secs 9.7/9.11/16/17) -------------
+#
+# Counterpart of sources/vp8p.py: emits inter-coded frames bit-by-bit per
+# the spec text. The encoder runs the SAME near-MV survey contract as the
+# decoder (imported from vp8p — it is the bitstream contract, not shared
+# reconstruction code); pixel-level ground truth in tests/test_vp8p.py is
+# independent of both sides (numpy roll / direct 6-tap convolution).
+
+
+def _put_mv_component(be: BoolEncoder, p, v8: int) -> None:
+    """One MV component delta, ``v8`` in eighth-pel (must be even — VP8
+    transmits quarter-pel units and the decoder doubles them)."""
+    assert v8 % 2 == 0
+    x = v8 // 2
+    a = abs(x)
+    if a < 8:
+        be.put_bit(0, p[0])
+        be.put_tree(_SMALL_MV_TREE_E, p[2:9], a)
+    else:
+        be.put_bit(1, p[0])
+        for i in range(3):
+            be.put_bit((a >> i) & 1, p[9 + i])
+        for i in range(9, 3, -1):
+            be.put_bit((a >> i) & 1, p[9 + i])
+        if a & 0xFFF0:
+            be.put_bit((a >> 3) & 1, p[9 + 3])
+        else:
+            # values < 8 take the short form, so bit 3 is implicitly set
+            assert (a >> 3) & 1
+    if a:
+        be.put_bit(1 if x < 0 else 0, p[1])
+
+
+def encode_vp8_pframe(
+    mbw: int,
+    mbh: int,
+    mbs,
+    y_ac_qi: int = 4,
+    filter_level: int = 0,
+    filter_type: int = 0,
+    sharpness: int = 0,
+    refresh_golden: bool = False,
+    refresh_alt: bool = False,
+    refresh_last: bool = True,
+    copy_golden: int = 0,
+    copy_alt: int = 0,
+    prob_intra: int = 64,
+    prob_last: int = 64,
+    prob_gf: int = 128,
+    show: bool = True,
+):
+    """Build a VP8 interframe payload; returns (payload, resolved) where
+    ``resolved`` lists each MB's (ref, mode, submvs) as the decoder will
+    reconstruct them (the caller's ground-truth oracle needs the survey
+    outcome for nearest/near modes).
+
+    ``mbs``: per-MB dicts in raster order:
+      inter: mode: 'zero'|'nearest'|'near'|'new'|'split';
+             ref: 'last'|'golden'|'altref' (default last);
+             mv: (row, col) eighth-pel TOTAL motion for 'new';
+             split: list of 16 (row, col) per-subblock MVs (encoded with
+             partition type 3 = sixteen, submode new/zero/left/above
+             chosen automatically);
+             skip: bool (default True); y/y2/uv: raw token levels
+             (zigzag) when not skipped, as in encode_vp8_frame.
+      intra: intra: True; ymode/sub/uvmode as in encode_vp8_frame.
+    """
+    from .vp8p import (
+        ALTREF,
+        GOLDEN,
+        INTRA,
+        LAST,
+        MODE_CONTEXT_PROBS,
+        MBSPLIT_MAPS,
+        MBSPLIT_PROBS,
+        NEARESTMV,
+        NEARMV,
+        NEWMV,
+        SPLITMV,
+        SUB_MV_REF_PROBS,
+        ZEROMV,
+        _MBInfo,
+        _MV_REF_TREE,
+        _SUB_MV_REF_TREE,
+        _YMODE_TREE,
+        B_MODE_PROB,
+        UV_MODE_PROB,
+        YMODE_PROB,
+        DEFAULT_MV_CONTEXT,
+        _above_block_mv,
+        _find_near_mvs,
+        _left_block_mv,
+        _sub_mv_context,
+    )
+
+    assert len(mbs) == mbw * mbh
+    ref_code = {"last": LAST, None: LAST, "golden": GOLDEN, "altref": ALTREF}
+    mv_probs = (list(DEFAULT_MV_CONTEXT[0]), list(DEFAULT_MV_CONTEXT[1]))
+    sign_bias = {LAST: 0, GOLDEN: 0, ALTREF: 0}
+
+    be = BoolEncoder()
+    be.put_flag(0)  # segmentation
+    be.put_flag(1 if filter_type else 0)
+    be.put_literal(filter_level, 6)
+    be.put_literal(sharpness, 3)
+    be.put_flag(0)  # lf deltas
+    be.put_literal(0, 2)  # one token partition
+    be.put_literal(y_ac_qi, 7)
+    for _ in range(5):
+        be.put_flag(0)  # quant deltas
+    be.put_flag(1 if refresh_golden else 0)
+    be.put_flag(1 if refresh_alt else 0)
+    if not refresh_golden:
+        be.put_literal(copy_golden, 2)
+    if not refresh_alt:
+        be.put_literal(copy_alt, 2)
+    be.put_flag(0)  # sign bias golden
+    be.put_flag(0)  # sign bias altref
+    be.put_flag(0)  # refresh entropy: frame-local
+    be.put_flag(1 if refresh_last else 0)
+    for t in range(4):  # no coeff prob updates
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    be.put_bit(0, COEFF_UPDATE_PROBS[t][b][c][p])
+    be.put_flag(1)  # mb_no_coeff_skip
+    be.put_literal(128, 8)  # prob_skip_false
+    be.put_literal(prob_intra, 8)
+    be.put_literal(prob_last, 8)
+    be.put_literal(prob_gf, 8)
+    be.put_flag(0)  # no ymode prob update
+    be.put_flag(0)  # no uv prob update
+    from .vp8p import MV_UPDATE_PROBS
+
+    for comp in range(2):
+        for i in range(19):
+            be.put_bit(0, MV_UPDATE_PROBS[comp][i])
+
+    # per-MB modes — decoder-contract survey runs alongside
+    infos: list[_MBInfo] = []
+    resolved = []
+    for mb_y in range(mbh):
+        for mb_x in range(mbw):
+            idx = mb_y * mbw + mb_x
+            spec = mbs[idx]
+            info = _MBInfo()
+            be.put_bit(1 if spec.get("skip", True) else 0, 128)
+            info.skip = 1 if spec.get("skip", True) else 0
+            if spec.get("intra"):
+                be.put_bit(0, prob_intra)
+                info.ref = INTRA
+                info.ymode = spec["ymode"]
+                info.mode = info.ymode
+                be.put_tree(_YMODE_TREE, YMODE_PROB, info.ymode)
+                if info.ymode == B_PRED:
+                    info.sub = list(spec["sub"])
+                    for m in info.sub:
+                        be.put_tree(_BMODE_TREE, B_MODE_PROB, m)
+                else:
+                    info.sub = [_MODE_TO_BMODE[info.ymode]] * 16
+                info.uvmode = spec["uvmode"]
+                be.put_tree(_UV_MODE_TREE, UV_MODE_PROB, info.uvmode)
+                infos.append(info)
+                resolved.append((INTRA, info.ymode, None))
+                continue
+            be.put_bit(1, prob_intra)
+            info.ref = ref_code[spec.get("ref")]
+            if info.ref == LAST:
+                be.put_bit(0, prob_last)
+            else:
+                be.put_bit(1, prob_last)
+                be.put_bit(0 if info.ref == GOLDEN else 1, prob_gf)
+            best, nearest, near, cnt = _find_near_mvs(
+                infos, idx, mb_x, mb_y, mbw, mbh, info.ref, sign_bias
+            )
+            probs = [MODE_CONTEXT_PROBS[min(cnt[j], 5)][j] for j in range(4)]
+            want = spec["mode"]
+            if want == "zero":
+                info.mode, info.mv = ZEROMV, (0, 0)
+                info.submvs = [(0, 0)] * 16
+            elif want == "nearest":
+                info.mode, info.mv = NEARESTMV, nearest
+                info.submvs = [nearest] * 16
+            elif want == "near":
+                info.mode, info.mv = NEARMV, near
+                info.submvs = [near] * 16
+            elif want == "new":
+                info.mode, info.mv = NEWMV, tuple(spec["mv"])
+                info.submvs = [info.mv] * 16
+            else:
+                info.mode = SPLITMV
+                info.submvs = [tuple(m) for m in spec["split"]]
+                info.mv = info.submvs[15]
+            be.put_tree(_MV_REF_TREE, probs, info.mode)
+            if info.mode == NEWMV:
+                _put_mv_component(be, mv_probs[0], info.mv[0] - best[0])
+                _put_mv_component(be, mv_probs[1], info.mv[1] - best[1])
+            elif info.mode == SPLITMV:
+                be.put_tree(_MBSPLIT_TREE_E, MBSPLIT_PROBS, 3)  # sixteen
+                filled = [None] * 16
+                for b in range(16):
+                    mv = info.submvs[b]
+                    l = _left_block_mv(infos, idx, mb_x, mbw, filled, b)
+                    a = _above_block_mv(infos, idx, mb_y, mbw, filled, b)
+                    ctx = _sub_mv_context(l, a)
+                    sp = SUB_MV_REF_PROBS[ctx]
+                    if mv == l:
+                        be.put_tree(_SUB_MV_REF_TREE, sp, 0)  # LEFT4X4
+                    elif mv == a:
+                        be.put_tree(_SUB_MV_REF_TREE, sp, 1)  # ABOVE4X4
+                    elif mv == (0, 0):
+                        be.put_tree(_SUB_MV_REF_TREE, sp, 2)  # ZERO4X4
+                    else:
+                        be.put_tree(_SUB_MV_REF_TREE, sp, 3)  # NEW4X4
+                        _put_mv_component(be, mv_probs[0], mv[0] - best[0])
+                        _put_mv_component(be, mv_probs[1], mv[1] - best[1])
+                    filled[b] = mv
+            infos.append(info)
+            resolved.append((info.ref, info.mode, list(info.submvs)))
+    part0 = be.flush()
+
+    # tokens (single partition)
+    te = BoolEncoder()
+    above_nz = [[0] * 9 for _ in range(mbw)]
+    for mb_y in range(mbh):
+        left_nz = [0] * 9
+        for mb_x in range(mbw):
+            idx = mb_y * mbw + mb_x
+            spec = mbs[idx]
+            info = infos[idx]
+            has_y2 = info.mode not in (B_PRED, SPLITMV)
+            anz = above_nz[mb_x]
+            if info.skip:
+                for i in range(8):
+                    anz[i] = 0
+                    left_nz[i] = 0
+                if has_y2:
+                    anz[8] = 0
+                    left_nz[8] = 0
+                continue
+            if has_y2:
+                lv = spec.get("y2", [0] * 16)
+                ctx = anz[8] + left_nz[8]
+                _put_tokens(te, COEFF_PROBS[1], ctx, 0, lv)
+                nz = 1 if any(lv) else 0
+                anz[8] = left_nz[8] = nz
+                first, ptbl = 1, COEFF_PROBS[0]
+            else:
+                first, ptbl = 0, COEFF_PROBS[3]
+            yl = spec.get("y", [[0] * 16] * 16)
+            for r in range(4):
+                for c in range(4):
+                    lv = yl[4 * r + c]
+                    ctx = anz[c] + left_nz[r]
+                    _put_tokens(te, ptbl, ctx, first, lv[first:])
+                    nz = 1 if any(lv[first:]) else 0
+                    anz[c] = left_nz[r] = nz
+            uvl = spec.get("uv", [[0] * 16] * 8)
+            for pi in range(2):
+                for r in range(2):
+                    for c in range(2):
+                        lv = uvl[4 * pi + 2 * r + c]
+                        ai = 4 + 2 * pi + c
+                        li = 4 + 2 * pi + r
+                        ctx = anz[ai] + left_nz[li]
+                        _put_tokens(te, COEFF_PROBS[2], ctx, 0, lv)
+                        nz = 1 if any(lv) else 0
+                        anz[ai] = left_nz[li] = nz
+    tokens = te.flush()
+
+    part0_size = len(part0)
+    tag = (part0_size << 5) | ((1 if show else 0) << 4) | (0 << 1) | 1
+    head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    return head + part0 + tokens, resolved
+
+
+# tree aliases used by the P-frame writer (imported lazily above to keep
+# vp8p optional for still-image users)
+from .vp8p import _MBSPLIT_TREE as _MBSPLIT_TREE_E  # noqa: E402
+from .vp8p import _SMALL_MV_TREE as _SMALL_MV_TREE_E  # noqa: E402
