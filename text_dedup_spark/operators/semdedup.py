@@ -283,6 +283,9 @@ def semantic_dedup(
     # oversized cells take the blocked-edges + distributed-CC path
     big_cells: list[int] = []
     if cell_cap is not None:
+        # driver-side collect BOUNDED BY n_clusters (one (cell, n) row per
+        # k-means cell, never per data row) — same class of documented
+        # bounded collects as ids.py:42 / suffix.py:241
         sizes = celled.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
         big_cells = [r["cell"] for r in sizes if r["n"] > cell_cap]
     small = celled.where(~F.col("cell").isin(big_cells)) if big_cells else celled
