@@ -354,3 +354,38 @@ def test_ivf_vp8_feeds_video_fingerprint_pipeline():
     assert np.array_equal(static[0], static[2])
     assert frames_fingerprint64(static) == frames_fingerprint64(single)
     assert not np.array_equal(moving[0], moving[1])
+
+
+def test_ivf_mangle_fuzz_flag_safety():
+    """Flag-policy contract at the media boundary: a mangled IVF VP8
+    stream either decodes to frames or raises ValueError /
+    NotImplementedError from decode_video_frames — never any other
+    exception class (one corrupt row must not kill a Spark task)."""
+    import random
+
+    from text_dedup_spark.functions.media_udf import decode_video_frames
+
+    kf = _textured_keyframe(seed=37)
+    mbw, mbh = W // 16, H // 16
+    n = mbw * mbh
+    p1, _ = encode_vp8_pframe(mbw, mbh, [_inter("new", mv=(8, 8))] * n)
+    good = write_ivf(W, H, [kf, p1])
+    rng = random.Random(4242)
+    outcomes = {"ok": 0, "flagged": 0}
+    for _ in range(60):
+        buf = bytearray(good)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            frames = decode_video_frames(bytes(buf))
+            assert frames.ndim == 3
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["flagged"] += 1
+    assert outcomes["ok"] + outcomes["flagged"] == 60
+    # truncations, including mid-frame
+    for cut in (0, 10, 33, len(good) // 2, len(good) - 3):
+        try:
+            decode_video_frames(bytes(good[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
