@@ -389,3 +389,47 @@ def test_ivf_mangle_fuzz_flag_safety():
             decode_video_frames(bytes(good[:cut]))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_webm_container_equals_ivf_of_same_payloads():
+    """WebM (EBML) and IVF carrying the SAME VP8 payloads must decode to
+    identical frame sequences — the container layer adds nothing."""
+    from text_dedup_spark.functions.media_udf import decode_video_frames
+    from text_dedup_spark.sources.webm import (
+        decode_webm_vp8,
+        parse_webm_vp8,
+        write_webm_vp8,
+    )
+
+    kf = _textured_keyframe(seed=41)
+    mbw, mbh = W // 16, H // 16
+    n = mbw * mbh
+    p1, _ = encode_vp8_pframe(mbw, mbh, [_inter("new", mv=(8, 0))] * n)
+    p2, _ = encode_vp8_pframe(mbw, mbh, [_inter("new", mv=(0, 8))] * n)
+    payloads = [kf, p1, p2]
+    webm = write_webm_vp8(payloads)
+    assert parse_webm_vp8(webm) == payloads
+    via_webm = decode_webm_vp8(webm)
+    via_ivf = decode_ivf_vp8(write_ivf(W, H, payloads))
+    assert len(via_webm) == len(via_ivf) == 3
+    for (ya, ua, va), (yb, ub, vb) in zip(via_webm, via_ivf):
+        assert np.array_equal(ya, yb)
+        assert np.array_equal(ua, ub)
+        assert np.array_equal(va, vb)
+    # media dispatch: magic-byte routing straight from the binary column
+    frames = decode_video_frames(webm)
+    assert frames.shape == (3, H, W)
+
+
+def test_webm_error_contract():
+    from text_dedup_spark.sources.webm import parse_webm_vp8, write_webm_vp8
+
+    with pytest.raises(ValueError):
+        parse_webm_vp8(b"\x1a\x45\xdf\xa3")  # truncated EBML
+    with pytest.raises(ValueError):
+        parse_webm_vp8(b"RIFFnope")
+    # a WebM whose only track is not VP8
+    good = write_webm_vp8([b"\x00" * 8])
+    not_vp8 = good.replace(b"V_VP8", b"V_VP9")
+    with pytest.raises(ValueError):
+        parse_webm_vp8(not_vp8)

@@ -193,6 +193,17 @@ def decode_video_frames(data: bytes) -> np.ndarray:
             from ..sources.vp8l import decode_webp_frames
 
             return np.stack([_to_gray(f) for f in decode_webp_frames(data)])
+        if data[:4] == b"\x1a\x45\xdf\xa3":  # WebM/EBML: VP8 track
+            from ..sources.avi import _to_gray
+            from ..sources.vp8 import yuv420_to_rgb
+            from ..sources.webm import decode_webm_vp8
+
+            frames = decode_webm_vp8(data)
+            if not frames:
+                raise ValueError("WebM stream with no shown frames")
+            return np.stack(
+                [_to_gray(yuv420_to_rgb(y, u, v)) for y, u, v in frames]
+            )
         if data[:4] == b"DKIF":  # IVF-contained VP8: key + P-frame chains
             from ..sources.avi import _to_gray
             from ..sources.vp8 import yuv420_to_rgb
