@@ -1793,4 +1793,32 @@ def _kernel_board_oracles() -> dict[str, str]:
             ov.suffix_cleaned_rows(sf, ID_SHIFT, 100),
             [("doc_id", "BIGINT"), ("text", "VARCHAR"), ("dup_bytes", "BIGINT")],
         ),
+        **_ann_board_oracles(ov, sf),
     }
+
+
+def _ann_board_oracles(ov, sf: str) -> dict[str, str]:
+    """Constructed oracles for the two remaining rows-only queries — the
+    seeded, deterministic ANN paths.  Each builder audits its float margins
+    (cell-assignment / probe-set / sign-threshold / rounding boundaries)
+    and raises OracleMarginError if the corpus sits too close to a decision
+    boundary for the driver-side replication to be trustworthy; in that
+    case the entry is OMITTED and the query stays rows-only (never a
+    wrongly-red cell).  cfg literals must match q_ann_lsh_topk /
+    q_ann_ivfpq_topk."""
+    topk_cols = [
+        ("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+        ("rank", "INTEGER"), ("score", "DOUBLE"),
+    ]
+    out: dict[str, str] = {}
+    try:
+        out["ann_lsh_topk"] = ov.values_sql(
+            ov.ann_lsh_topk_rows(sf, 10, 10, 8), topk_cols)
+    except ov.OracleMarginError:
+        pass
+    try:
+        out["ann_ivfpq_topk"] = ov.values_sql(
+            ov.ann_ivfpq_topk_rows(sf, 10, 32, 8, 8, 30), topk_cols)
+    except ov.OracleMarginError:
+        pass
+    return out

@@ -72,3 +72,41 @@ def test_board_rows_match_spark_queries_at_sf0001(spark, name):
     else:
         rows = ov.suffix_cleaned_rows(SF, ID_SHIFT, 100)
     assert got == {tuple(r) for r in rows}, name
+
+
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_ivfpq_topk"])
+def test_ann_board_rows_match_spark_queries_at_sf0001(spark, name):
+    """The two seeded ANN paths (the last rows-only board queries through
+    r3): driver-side brute-force re-derivation of the candidate sets and
+    ranked windows — margin-audited so a last-ulp divergence in the
+    distributed k-means avg can only OMIT the oracle, never mis-pin it."""
+    import __spark_entry__ as e
+
+    got = {tuple(r) for r in e.queries()[name](spark, SF).collect()}
+    if name == "ann_lsh_topk":
+        rows = ov.ann_lsh_topk_rows(SF, 10, 10, 8)
+    else:
+        rows = ov.ann_ivfpq_topk_rows(SF, 10, 32, 8, 8, 30)
+    assert got == {tuple(r) for r in rows}, name
+
+
+def test_ann_margin_audit_raises_not_mispins():
+    """A corpus that genuinely sits on a decision boundary must raise
+    OracleMarginError (-> entry omitted, query stays rows-only) rather
+    than emit a row set that could disagree with Spark."""
+    with pytest.raises(ov.OracleMarginError):
+        ov._require_margin(0.0, "synthetic boundary")
+    with pytest.raises(ov.OracleMarginError):
+        ov._audit_round_boundary([0.1234565000000000001], "synthetic score")
+    # entries vanish (not crash) when a builder raises
+    import __spark_entry__ as e
+
+    orig = ov.ann_lsh_topk_rows
+    try:
+        def boom(*a, **k):
+            raise ov.OracleMarginError("forced")
+        ov.ann_lsh_topk_rows = boom
+        sqls = e._ann_board_oracles(ov, SF)
+        assert "ann_lsh_topk" not in sqls and "ann_ivfpq_topk" in sqls
+    finally:
+        ov.ann_lsh_topk_rows = orig

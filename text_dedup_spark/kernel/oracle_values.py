@@ -212,3 +212,220 @@ def suffix_cleaned_rows(sf_dir: str, id_shift: int, k: int,
     corpus = sorted(_exact_dup_corpus(sf_dir, id_shift))
     rows = dedup_documents(corpus, k, merge_strategy)
     return [(i, t, d) for i, t, d in rows if len(t) > 0]
+
+
+# --------------------------------------------------------------------------
+# ANN top-k oracles (sign-LSH, IVF-PQ)
+# --------------------------------------------------------------------------
+#
+# Both ANN board queries are deterministic end-to-end: seeded hyperplanes,
+# hash-ordered k-means samples, and (score DESC, id ASC) tie-breaks.  The
+# deterministic KERNEL math (hyperplane generation, PQ training/encoding,
+# ADC lookups) is imported from operators/ann.py — the same sharing policy
+# the MinHash oracles use for signature math; its correctness is pinned
+# separately by tests/test_pq.py and tests/test_multiprobe.py (recall/score
+# parity vs brute force).  What the oracle RE-DERIVES independently is the
+# distributed plumbing: bucket-collision candidate joins, identical-vector
+# collapse, cell-probe joins, the ADC shortlist, and the ranked window —
+# all replaced here by explicit per-query enumeration over the full corpus.
+#
+# One genuine float hazard exists: ``train_centroids`` refines cells with
+# DISTRIBUTED ``avg`` whose merge order follows shuffle-fetch arrival, so
+# Spark's centroids can differ from this driver-side replication in the
+# last ulp.  A last-ulp wobble only changes the OUTPUT if some vector sits
+# within ~1e-12 of a cell-assignment or probe-set boundary, so every
+# builder AUDITS its margins (> ``_MARGIN``, 1000x the worst plausible
+# divergence) and raises ``OracleMarginError`` when the corpus is too close
+# to a boundary; ``oracle_sql()`` then simply omits the entry (the query
+# degrades to the rows-only check — never a wrongly-red cell).
+
+
+_MARGIN = 1e-9
+
+
+class OracleMarginError(ValueError):
+    """A float margin audit failed: the corpus sits too close to a
+    decision boundary for a driver-side replication to be trustworthy."""
+
+
+def _require_margin(value: float, what: str) -> None:
+    if not value > _MARGIN:
+        raise OracleMarginError(f"{what}: margin {value!r} <= {_MARGIN}")
+
+
+@functools.lru_cache(maxsize=4)
+def _embeddings(sf_dir: str):
+    """(ids int64 array, mat float64 (n, dim)) from embeddings.parquet —
+    float32 values widened exactly as Spark's Arrow path widens them."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            "SELECT vec_id, embedding FROM read_parquet(?) ORDER BY vec_id",
+            [f"{sf_dir}/embeddings.parquet"],
+        ).fetchall()
+    finally:
+        con.close()
+    ids = np.array([int(i) for i, _ in rows], dtype=np.int64)
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _spark_xxhash64_long(v: int) -> int:
+    """Spark's ``xxhash64(bigint)``: XXH64 of the 8-byte little-endian
+    value with Spark's fixed seed 42, as a SIGNED long."""
+    import struct
+
+    from .xxh import xxh64_int
+
+    h = xxh64_int(struct.pack("<q", v), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _rank_rows(ids, cand_idx, scores, query_id, k):
+    """Top-k rows (query_id, neighbor_id, rank, score) under the engine's
+    (score DESC, id ASC) window order, from already-ROUNDED scores."""
+    order = sorted(range(len(cand_idx)), key=lambda i: (-scores[i], ids[cand_idx[i]]))
+    return [
+        (query_id, int(ids[cand_idx[i]]), r + 1, float(scores[i]))
+        for r, i in enumerate(order[:k])
+    ]
+
+
+def _audit_round_boundary(unrounded, what: str) -> None:
+    """HALF_UP at 6 digits flips when |x|*1e6 + 0.5 crosses an integer;
+    require every emitted score to sit > _MARGIN (in scaled units, i.e.
+    > 1e-15 absolute) away from a flip point."""
+    import numpy as np
+
+    scaled = np.abs(np.asarray(unrounded, dtype=np.float64)) * 1e6 + 0.5
+    dist = np.abs(scaled - np.round(scaled))
+    if dist.size:
+        _require_margin(float(dist.min()), f"{what} rounding boundary")
+
+
+@functools.lru_cache(maxsize=4)
+def ann_lsh_topk_rows(
+    sf_dir: str, k: int, nbits: int, n_tables: int,
+    seed: int = 42, n_queries: int = 5,
+):
+    """Expected rows for ``lsh_topk`` on the sf embeddings: per-query
+    brute-force enumeration of bucket-collision candidates (any table),
+    exact cosine re-rank — no collapse, no joins, no window.  Equivalent
+    to the engine's collapsed/capped formulation because identical vectors
+    share every bucket and rank adjacently by id (the cap keeps the k+1
+    smallest ids per tied group, which is all that can surface in top-k)."""
+    import numpy as np
+
+    from ..operators.ann import sign_bucket_ids, sign_planes
+
+    ids, mat = _embeddings(sf_dir)
+    planes = sign_planes(mat.shape[1], nbits, n_tables, seed)
+    # sign-threshold audit: a projection at ~0 could flip under a
+    # different dgemm blocking; real corpora sit far from the planes
+    for t in range(n_tables):
+        _require_margin(float(np.abs(mat @ planes[t]).min()), "lsh sign margin")
+    buckets = sign_bucket_ids(mat, planes)  # (n, n_tables)
+    norms = np.linalg.norm(mat, axis=1)
+    out = []
+    for qi in np.flatnonzero(ids < n_queries):
+        collide = (buckets == buckets[qi]).any(axis=1)
+        collide[qi] = False
+        cand = np.flatnonzero(collide & (ids != ids[qi]))
+        if cand.size == 0:
+            continue
+        dots = np.einsum("ij,ij->i", mat[cand], np.broadcast_to(mat[qi], (cand.size, mat.shape[1])))
+        raw = dots / np.maximum(norms[cand] * norms[qi], 1e-300)
+        _audit_round_boundary(raw, "lsh score")
+        scores = _round_half_up_scalar_array(raw)
+        out.extend(_rank_rows(ids, cand, scores, int(ids[qi]), k))
+    return out
+
+
+def _round_half_up_scalar_array(x):
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+@functools.lru_cache(maxsize=4)
+def ann_ivfpq_topk_rows(
+    sf_dir: str, k: int, n_centroids: int, n_probe: int, m: int,
+    refine: int, nbits: int = 8, kmeans_iterations: int = 2,
+    pq_iterations: int = 10, sample_cap: int = 65536, n_queries: int = 5,
+):
+    """Expected rows for ``ivfpq_topk`` with exact refine: replicate the
+    deterministic trainers (hash-ordered sample -> shared ``pq_train_numpy``;
+    seeded Lloyd with per-cell means recomputed driver-side), then per-query
+    enumeration of probed-cell candidates, ADC shortlist, exact re-rank.
+    Margin audits cover every decision the distributed ``avg``'s ulp wobble
+    could flip: cell assignment (each Lloyd round + final index) and the
+    probe-set boundary."""
+    import numpy as np
+
+    from ..operators.ann import adc_scores_numpy, pq_codes_numpy, pq_train_numpy
+
+    ids, mat = _embeddings(sf_dir)
+    # --- hash-ordered deterministic sample (Spark: orderBy(xxhash64(id)))
+    h = np.array([_spark_xxhash64_long(int(i)) for i in ids], dtype=np.int64)
+    if len(set(h.tolist())) != len(h):
+        raise OracleMarginError("xxhash64 collision in sample ordering")
+    order = np.argsort(h, kind="stable")
+    sample = mat[order][:sample_cap]
+    codebooks = pq_train_numpy(sample, m, nbits, pq_iterations)
+
+    # --- coarse centroids (train_centroids replication, margin-audited)
+    cents = sample[:n_centroids].copy()
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    assign = None
+    for _ in range(kmeans_iterations):
+        sims = unit @ cents.T
+        top2 = np.partition(sims, -2, axis=1)[:, -2:]
+        _require_margin(float((top2[:, 1] - top2[:, 0]).min()), "lloyd cell margin")
+        assign = sims.argmax(axis=1)
+        new_cents = cents.copy()
+        for c in np.unique(assign):
+            new_cents[c] = mat[assign == c].mean(axis=0)
+        cents = new_cents / np.maximum(
+            np.linalg.norm(new_cents, axis=1, keepdims=True), 1e-300)
+    # final index assignment (same audit)
+    sims = unit @ cents.T
+    top2 = np.partition(sims, -2, axis=1)[:, -2:]
+    _require_margin(float((top2[:, 1] - top2[:, 0]).min()), "index cell margin")
+    cells = sims.argmax(axis=1)
+
+    codes = pq_codes_numpy(mat, codebooks)
+    out = []
+    for qi in np.flatnonzero(ids < n_queries):
+        qsims = sims[qi]
+        qorder = np.argsort(-qsims, kind="stable")
+        if n_probe < n_centroids:
+            _require_margin(
+                float(qsims[qorder[n_probe - 1]] - qsims[qorder[n_probe]]),
+                "probe boundary margin")
+        probed = set(qorder[:n_probe].tolist())
+        cand = np.flatnonzero(
+            np.isin(cells, list(probed)) & (ids != ids[qi]))
+        if cand.size == 0:
+            continue
+        raw_adc = adc_scores_numpy(
+            np.broadcast_to(unit[qi], (cand.size, mat.shape[1])).copy(),
+            codes[cand], codebooks)
+        _audit_round_boundary(raw_adc, "adc score")
+        adc = _round_half_up_scalar_array(raw_adc)
+        short_order = sorted(
+            range(cand.size), key=lambda i: (-adc[i], ids[cand[i]]))
+        short = cand[[i for i in short_order[: max(refine, k)]]]
+        dots = np.einsum(
+            "ij,ij->i", mat[short],
+            np.broadcast_to(mat[qi], (short.size, mat.shape[1])))
+        norms = np.linalg.norm(mat, axis=1)
+        raw = dots / np.maximum(norms[short] * norms[qi], 1e-300)
+        _audit_round_boundary(raw, "refined score")
+        scores = _round_half_up_scalar_array(raw)
+        out.extend(_rank_rows(ids, short, scores, int(ids[qi]), k))
+    return out

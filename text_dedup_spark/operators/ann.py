@@ -82,6 +82,26 @@ def brute_force_topk(
     )
 
 
+def sign_planes(dim: int, nbits: int, n_tables: int, seed: int) -> np.ndarray:
+    """Deterministic (n_tables, dim, nbits) hyperplane tensor — the single
+    source of truth shared by every sign-LSH UDF AND the constructed board
+    oracle (kernel/oracle_values.py), so both sides derive bit-identical
+    projections from (seed, dim, nbits, n_tables)."""
+    return np.random.RandomState(seed).normal(size=(n_tables, dim, nbits))
+
+
+def sign_bucket_ids(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) float64 -> (n, n_tables) int64 sign-bit bucket ids; the
+    shared kernel math for corpus/query bucketing (UDFs and oracle)."""
+    n_tables, _, nbits = planes.shape
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (mat @ planes[t]) > 0  # (n, nbits)
+        out[:, t] = bits @ weights
+    return out
+
+
 def make_sign_lsh_udf(nbits: int, n_tables: int, seed: int = 42, dim: int | None = None):
     """array<float> -> array<int> of n_tables bucket ids (sign-bit LSH).
 
@@ -89,7 +109,6 @@ def make_sign_lsh_udf(nbits: int, n_tables: int, seed: int = 42, dim: int | None
     ``dim`` may be omitted: it is then read from the first Arrow batch on
     each worker — every worker derives the identical planes, and no extra
     Spark job is spent discovering the vector length on the driver."""
-    weights = (1 << np.arange(nbits)).astype(np.int64)
     state: dict = {}
 
     @pandas_udf(ArrayType(IntegerType()))
@@ -98,13 +117,9 @@ def make_sign_lsh_udf(nbits: int, n_tables: int, seed: int = 42, dim: int | None
         planes = state.get("planes")
         if planes is None:
             d = dim if dim is not None else mat.shape[1]
-            rng = np.random.RandomState(seed)
-            planes = rng.normal(size=(n_tables, d, nbits))
+            planes = sign_planes(d, nbits, n_tables, seed)
             state["planes"] = planes
-        out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
-        for t in range(n_tables):
-            bits = (mat @ planes[t]) > 0  # (batch, nbits)
-            out[:, t] = bits @ weights
+        out = sign_bucket_ids(mat, planes)
         return pd.Series(out.astype(np.int32).tolist())
 
     return sign_buckets
@@ -140,8 +155,7 @@ def make_multiprobe_lsh_udf(
         planes = state.get("planes")
         if planes is None:
             d = dim if dim is not None else mat.shape[1]
-            rng = np.random.RandomState(seed)
-            planes = rng.normal(size=(n_tables, d, nbits))
+            planes = sign_planes(d, nbits, n_tables, seed)
             state["planes"] = planes
         n = mat.shape[0]
         weights = (1 << np.arange(nbits)).astype(np.int64)
@@ -459,11 +473,21 @@ def train_pq(
         .collect()
     )
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    return pq_train_numpy(mat, m, nbits, kmeans_iterations)
+
+
+def pq_train_numpy(
+    mat: np.ndarray, m: int, nbits: int, kmeans_iterations: int
+) -> np.ndarray:
+    """Driver-side PQ codebook training on an already-collected sample —
+    the shared deterministic kernel for ``train_pq`` AND the constructed
+    board oracle (same sample order in => bit-identical codebooks out)."""
+    k = 1 << nbits
     dim = mat.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
     books = np.empty((m, k, dsub), dtype=np.float64)
     for s in range(m):
         sub = mat[:, s * dsub : (s + 1) * dsub]
@@ -479,6 +503,37 @@ def train_pq(
     return books
 
 
+def pq_codes_numpy(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) float64 -> (n, m) uint8 nearest-codeword codes of the
+    L2-normalized rows; shared by the encode UDF and the board oracle."""
+    m, k, dsub = codebooks.shape
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    out = np.empty((mat.shape[0], m), dtype=np.uint8)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        # argmin ||x - c||^2 = argmax (x.c - ||c||^2/2), batched
+        scores = sub @ codebooks[s].T - 0.5 * (codebooks[s] ** 2).sum(axis=1)
+        out[:, s] = scores.argmax(axis=1).astype(np.uint8)
+    return out
+
+
+def adc_scores_numpy(
+    q: np.ndarray, codes: np.ndarray, codebooks: np.ndarray
+) -> np.ndarray:
+    """Unrounded ADC inner-product scores for (nq-normalized query rows,
+    (n, m) uint8 codes): the exact lookup arithmetic of the ADC UDF (one
+    LUT per distinct query, m table lookups per code row). ``q`` must
+    already be L2-normalized; rows of ``codes`` are scored against the
+    matching row of ``q`` (same length)."""
+    m, k, dsub = codebooks.shape
+    _, first_idx, inv = np.unique(q, axis=0, return_index=True, return_inverse=True)
+    luts = np.einsum(
+        "qmd,mkd->qmk", q[first_idx].reshape(len(first_idx), m, dsub), codebooks
+    )  # (nq, m, k)
+    rows = np.arange(len(codes))
+    return luts[inv][rows[:, None], np.arange(m)[None, :], codes].sum(axis=1)
+
+
 def make_pq_encode_udf(codebooks: np.ndarray):
     """array<float> -> binary of m uint8 codes (nearest codeword per
     subspace of the L2-normalized vector); one numpy pass per Arrow batch."""
@@ -487,13 +542,7 @@ def make_pq_encode_udf(codebooks: np.ndarray):
     @pandas_udf("binary")
     def encode(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-        out = np.empty((mat.shape[0], m), dtype=np.uint8)
-        for s in range(m):
-            sub = mat[:, s * dsub : (s + 1) * dsub]
-            # argmin ||x - c||^2 = argmax (x.c - ||c||^2/2), batched
-            scores = sub @ codebooks[s].T - 0.5 * (codebooks[s] ** 2).sum(axis=1)
-            out[:, s] = scores.argmax(axis=1).astype(np.uint8)
+        out = pq_codes_numpy(mat, codebooks)
         return pd.Series([r.tobytes() for r in out])
 
     return encode
@@ -530,15 +579,7 @@ def make_adc_score_udf(codebooks: np.ndarray):
         c = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(-1, m)
         # group rows by identical query (queries repeat per batch under the
         # broadcast join); one LUT per distinct query, not per row
-        _, first_idx, inv = np.unique(
-            q, axis=0, return_index=True, return_inverse=True
-        )
-        luts = np.einsum(
-            "qmd,mkd->qmk", q[first_idx].reshape(len(first_idx), m, dsub), codebooks
-        )  # (nq, m, k)
-        rows = np.arange(len(c))
-        scores = luts[inv][rows[:, None], np.arange(m)[None, :], c].sum(axis=1)
-        return pd.Series(_round_half_up(scores))
+        return pd.Series(_round_half_up(adc_scores_numpy(q, c, codebooks)))
 
     return adc
 
