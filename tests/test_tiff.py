@@ -109,6 +109,71 @@ REAL_TIFF_B64 = (
 )
 
 
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+@pytest.mark.parametrize("tiles", [(8, 8), (5, 3), (16, 16)])
+def test_tiff_tiled_roundtrip(comp, tiles):
+    """Tiled layout: edge tiles padded to full tile size; output pixels
+    must equal the strip layout's (cross-layout parity on one array)."""
+    arr = RNG.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    strip = decode_tiff(encode_tiff(arr, compression=comp))
+    for be in (False, True):
+        data = encode_tiff(arr, compression=comp, tiles=tiles, big_endian=be)
+        assert np.array_equal(decode_tiff(data), arr[..., :3])
+        assert np.array_equal(decode_tiff(data), strip)
+
+
+@pytest.mark.parametrize("photo,bits,shape", [
+    (2, 8, (7, 5, 3)),
+    (2, 8, (9, 4, 4)),   # RGBA planar: 4 planes, alpha dropped
+    (2, 16, (5, 6, 3)),
+    (1, 8, (6, 6)),      # single-sample planar == chunky, still legal
+])
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+def test_tiff_planar_roundtrip(photo, bits, shape, comp):
+    arr = RNG.randint(0, 256, shape).astype(np.uint8)
+    exp = _expected(arr, photo, bits, None)
+    for rps in (None, 2):
+        data = encode_tiff(
+            arr, photometric=photo, bits=bits, compression=comp,
+            planar=2, rows_per_strip=rps,
+        )
+        assert np.array_equal(decode_tiff(data), exp), (comp, rps)
+
+
+def test_tiff_planar_tiled_combined():
+    arr = RNG.randint(0, 256, (10, 9, 3)).astype(np.uint8)
+    data = encode_tiff(arr, compression=8, planar=2, tiles=(4, 6))
+    assert np.array_equal(decode_tiff(data), arr)
+
+
+@pytest.mark.parametrize("photo,shape", [(1, (6, 7)), (2, (5, 4, 3))])
+def test_tiff_predictor2_16bit(photo, shape):
+    """Predictor 2 on 16-bit lanes accumulates mod 65536 (spec 14) —
+    round-trips through strips, tiles, and planar at both byte orders."""
+    arr = RNG.randint(0, 256, shape).astype(np.uint8)
+    exp = _expected(arr, photo, 16, None)
+    for be in (False, True):
+        for kw in ({}, {"tiles": (4, 4)}, {"planar": 2},
+                   {"rows_per_strip": 3}):
+            data = encode_tiff(
+                arr, photometric=photo, bits=16, predictor=2,
+                compression=5, big_endian=be, **kw,
+            )
+            assert np.array_equal(decode_tiff(data), exp), (be, kw)
+
+
+def test_tiff_tile_errors_feed_flag_policy():
+    arr = RNG.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    data = bytearray(encode_tiff(arr, tiles=(4, 4)))
+    # truncation (clips IFD/tile bytes) -> flagged skip, never a crash
+    assert try_decode_image(bytes(data[:-40]), "tiff") is None
+    assert try_decode_image(bytes(data[:60]), "tiff") is None
+    # sub-byte predictor-2 stays outside the supported surface
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((4, 4), np.uint8), photometric=1, bits=4,
+                    predictor=2)
+
+
 def test_tiff_real_golden_vs_direct_strip_read():
     data = base64.b64decode(REAL_TIFF_B64)
     img = decode_tiff(data)

@@ -9,15 +9,19 @@ baseline still-image surface real writers emit:
 - photometric 0/1 (gray, WhiteIsZero inverted), 2 (RGB), 3 (palette);
 - bits per sample 1/4/8 (gray+palette) and 16 (gray/RGB, high byte);
 - extra samples (alpha) dropped; horizontal-differencing predictor (2)
-  for 8-bit samples; multi-strip images.
+  for 8- and 16-bit samples; multi-strip images;
+- tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts, edge
+  tiles padded to full tile size per the spec) and planar configuration 2
+  (separate sample planes), in any combination.
 
 Output is normalized to the pipeline's HxWx3 uint8 contract like
-sources/png.py. Tiled TIFF, planar configuration 2, and float samples
-raise NotImplementedError — the operator-level skip+flag policy turns
-those into decode_ok=false rows, never task failures. ``encode_tiff``
-writes fixtures (and gray/palette/alpha output tables) for every
-decode-supported variant so the round-trip matrix exercises a separate
-forward implementation.
+sources/png.py. Float samples, photometrics beyond 3 (YCbCr/CMYK/Lab),
+and sub-byte predictor-2 raise NotImplementedError — the operator-level
+skip+flag policy turns those into decode_ok=false rows, never task
+failures. ``encode_tiff`` writes fixtures (and gray/palette/alpha output
+tables) for every decode-supported variant — including tiled and planar
+layouts — so the round-trip matrix exercises a separate forward
+implementation.
 """
 
 from __future__ import annotations
@@ -194,6 +198,58 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _decompress(chunk: bytes, comp: int, expect: int) -> bytes:
+    """One strip/tile -> exactly ``expect`` raw bytes (or raise)."""
+    if comp == 1:
+        dec = chunk[:expect]
+        if len(dec) < expect:
+            raise ValueError("TIFF strip short")
+    elif comp == 5:
+        dec = _lzw_decode(chunk)[:expect]
+        if len(dec) < expect:
+            raise ValueError("TIFF LZW strip short")
+    elif comp in (8, 32946):
+        dec = zlib.decompress(chunk)[:expect]
+        if len(dec) < expect:
+            raise ValueError("TIFF deflate strip short")
+    elif comp == 32773:
+        dec = _packbits_decode(chunk, expect)
+    else:
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    return dec
+
+
+def _samples_from_raw(
+    raw: bytes, rows: int, width: int, spp: int, bits: int, bo: str, pred: int
+) -> np.ndarray:
+    """Raw (already decompressed) scanline bytes -> (rows, width, spp)
+    uint8 sample codes: undo predictor 2 (per sample lane; 16-bit lanes
+    accumulate mod 65536 per the spec), then reduce to 8-bit codes (16-bit
+    keeps the high byte, sub-byte unpacks MSB-first)."""
+    stride = (width * spp * bits + 7) // 8
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(rows, stride)
+    if pred == 2 and bits == 16:
+        dt = ">u2" if bo == ">" else "<u2"
+        vals = np.frombuffer(raw, dtype=dt).reshape(rows, width, spp)
+        acc = np.cumsum(vals.astype(np.int64), axis=1) & 0xFFFF
+        return (acc >> 8).astype(np.uint8)
+    if pred == 2:  # bits == 8: horizontal differencing per sample channel
+        lanes = arr.reshape(rows, width, spp).astype(np.int64)
+        arr = (
+            (np.cumsum(lanes, axis=1) & 0xFF).astype(np.uint8).reshape(rows, stride)
+        )
+    if bits == 8:
+        return arr.reshape(rows, width, spp)
+    if bits == 16:
+        pairs = arr.reshape(rows, width, spp, 2)
+        return pairs[..., 0] if bo == ">" else pairs[..., 1]
+    # 1 or 4, spp == 1
+    bits_arr = np.unpackbits(arr, axis=1)
+    groups = bits_arr[:, : (stride * 8 // bits) * bits].reshape(rows, -1, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
+    return ((groups * weights).sum(axis=2).astype(np.uint8))[:, :width, None]
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """TIFF bytes -> HxWx3 uint8 (scope in the module docstring)."""
     if data[:2] == b"II" and data[2:4] == b"*\x00":
@@ -203,17 +259,17 @@ def decode_tiff(data: bytes) -> np.ndarray:
     else:
         raise ValueError("not a TIFF")
     t = _read_entries(data, bo)
-    if 322 in t or 323 in t:
-        raise NotImplementedError("tiled TIFF not supported")
-    if t.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar configuration 2 not supported")
+    tiled = 322 in t or 323 in t
+    planar = t.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"planar configuration {planar} not supported")
     if t.get(339, [1])[0] not in (1,):  # SampleFormat: unsigned only
         raise NotImplementedError("non-integer TIFF samples not supported")
     try:
         w = t[256][0]
         h = t[257][0]
-        offsets = t[273]
-        counts = t[279]
+        offsets = t[324] if tiled else t[273]
+        counts = t[325] if tiled else t[279]
         photo = t[262][0]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
@@ -231,54 +287,65 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     if bits < 8 and (spp != 1 or photo == 2):
         raise NotImplementedError("sub-byte TIFF only for gray/palette")
-    if pred == 2 and bits != 8:
-        raise NotImplementedError("predictor 2 only for 8-bit samples")
+    if pred == 2 and bits not in (8, 16):
+        raise NotImplementedError("predictor 2 only for 8/16-bit samples")
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension TIFF")
-    stride = (w * spp * bits + 7) // 8
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+    # planar config 2: each plane is laid out as an independent 1-sample
+    # image; chunky is the planes==1 case of the same loops
+    planes = spp if planar == 2 else 1
+    spp_eff = 1 if planar == 2 else spp
+
+    def chunk_at(i: int) -> bytes:
+        off, cnt = offsets[i], counts[i]
         chunk = bytes(data[off : off + cnt])
         if len(chunk) < cnt:
             raise ValueError("TIFF strip out of bounds")
-        rows = min(rps, h - si * rps)
-        expect = rows * stride
-        if comp == 1:
-            dec = chunk[:expect]
-            if len(dec) < expect:
-                raise ValueError("TIFF strip short")
-        elif comp == 5:
-            dec = _lzw_decode(chunk)[:expect]
-            if len(dec) < expect:
-                raise ValueError("TIFF LZW strip short")
-        elif comp in (8, 32946):
-            dec = zlib.decompress(chunk)[:expect]
-            if len(dec) < expect:
-                raise ValueError("TIFF deflate strip short")
-        elif comp == 32773:
-            dec = _packbits_decode(chunk, expect)
-        else:
-            raise NotImplementedError(f"TIFF compression {comp} not supported")
-        raw += dec
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, stride)
-    if pred == 2:  # horizontal differencing per sample channel
-        lanes = arr.reshape(h, w, spp).astype(np.int64)
-        arr = (
-            (np.cumsum(lanes, axis=1) & 0xFF).astype(np.uint8).reshape(h, stride)
-        )
-    # samples -> (h, w, spp) uint8 codes
-    if bits == 8:
-        samples = arr.reshape(h, w, spp)
-    elif bits == 16:
-        pairs = arr.reshape(h, w, spp, 2)
-        samples = pairs[..., 0] if bo == ">" else pairs[..., 1]
-    else:  # 1 or 4, spp == 1
-        bits_arr = np.unpackbits(arr, axis=1)
-        groups = bits_arr[:, : (stride * 8 // bits) * bits].reshape(h, -1, bits)
-        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
-        samples = ((groups * weights).sum(axis=2).astype(np.uint8))[:, :w, None]
+        return chunk
+
+    plane_samples = []
+    if tiled:
+        try:
+            tw = t[322][0]
+            th = t[323][0]
+        except KeyError as e:
+            raise ValueError(f"tiled TIFF missing tag {e}") from e
+        if tw == 0 or th == 0:
+            raise ValueError("zero-dimension TIFF tile")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        per_plane = across * down
+        if len(offsets) < planes * per_plane or len(counts) < planes * per_plane:
+            raise ValueError("TIFF tile table short")
+        tile_stride = (tw * spp_eff * bits + 7) // 8
+        for p in range(planes):
+            canvas = np.zeros((down * th, across * tw, spp_eff), dtype=np.uint8)
+            for ti in range(per_plane):
+                dec = _decompress(chunk_at(p * per_plane + ti), comp, th * tile_stride)
+                ty, tx = divmod(ti, across)
+                canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = (
+                    _samples_from_raw(dec, th, tw, spp_eff, bits, bo, pred)
+                )
+            plane_samples.append(canvas[:h, :w])
+    else:
+        per_plane = (h + rps - 1) // rps
+        if len(offsets) < planes * per_plane or len(counts) < planes * per_plane:
+            raise ValueError("TIFF strip table short")
+        stride = (w * spp_eff * bits + 7) // 8
+        for p in range(planes):
+            raw = bytearray()
+            for si in range(per_plane):
+                rows = min(rps, h - si * rps)
+                raw += _decompress(
+                    chunk_at(p * per_plane + si), comp, rows * stride)
+            plane_samples.append(
+                _samples_from_raw(bytes(raw), h, w, spp_eff, bits, bo, pred))
+    samples = (
+        plane_samples[0] if planes == 1
+        else np.concatenate(plane_samples, axis=2)
+    )
     if photo == 2:
         if spp < 3:
             raise ValueError("RGB TIFF with <3 samples")
@@ -309,14 +376,18 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     palette: np.ndarray | None = None,
     big_endian: bool = False,
+    tiles: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Write any decode-supported baseline TIFF variant.
 
     ``arr`` by photometric: 0/1 -> (H,W) gray codes, 2 -> (H,W,3|4) RGB(A),
     3 -> (H,W) palette indices with ``palette`` (N,3) uint8 — uint8 codes
     throughout (16-bit widens v to v*257, matching the decoder's high-byte
-    reduction). Fixture generator and gray/palette output writer; exercises
-    a forward path independent of decode_tiff."""
+    reduction). ``tiles=(tw, th)`` writes the tiled layout (edge tiles
+    zero-padded to full size per the spec); ``planar=2`` writes separate
+    sample planes. Fixture generator and gray/palette output writer;
+    exercises a forward path independent of decode_tiff."""
     if photometric in (0, 1, 3) and arr.ndim == 2:
         arr = arr[..., None]
     if arr.dtype != np.uint8 or arr.ndim != 3:
@@ -327,50 +398,72 @@ def encode_tiff(
     if bits < 8:
         if spp != 1 or int(arr.max(initial=0)) >= (1 << bits):
             raise ValueError("sub-byte TIFF wants single-sample small codes")
-    if predictor == 2 and bits != 8:
-        raise ValueError("predictor 2 only for 8-bit samples")
+    if predictor == 2 and bits not in (8, 16):
+        raise ValueError("predictor 2 only for 8/16-bit samples")
+    if planar not in (1, 2):
+        raise ValueError("planar configuration must be 1 or 2")
     bo = ">" if big_endian else "<"
     rps = rows_per_strip or h
     # photometric 0 stores inverted *meaning*, not inverted codes — the
     # decoder does the inversion, so codes pass through unchanged here
     codes = arr
-    stride = (w * spp * bits + 7) // 8
 
     def pack(rows: np.ndarray) -> bytes:
+        """(n, width, nsamp) uint8 codes -> raw scanline bytes."""
+        width, nsamp = rows.shape[1], rows.shape[2]
+        if bits == 16:
+            wide = rows.astype(np.uint16) * 257
+            if predictor == 2:
+                diff = wide.astype(np.int32).copy()
+                diff[:, 1:, :] = diff[:, 1:, :] - diff[:, :-1, :].astype(np.int32)
+                wide = (diff & 0xFFFF).astype(np.uint16)
+            dt = ">u2" if big_endian else "<u2"
+            return np.ascontiguousarray(wide, dtype=dt).tobytes()
         if predictor == 2:
             lanes = rows.astype(np.int16)
             diff = lanes.copy()
             diff[:, 1:, :] = lanes[:, 1:, :] - lanes[:, :-1, :]
             rows = (diff & 0xFF).astype(np.uint8)
         if bits == 8:
-            return rows.reshape(rows.shape[0], stride).tobytes()
-        if bits == 16:
-            wide = rows.astype(np.uint16) * 257
-            dt = ">u2" if big_endian else "<u2"
-            return np.ascontiguousarray(wide, dtype=dt).tobytes()
+            return rows.reshape(rows.shape[0], width * nsamp).tobytes()
         b = (
-            (rows.reshape(rows.shape[0], w)[:, :, None]
+            (rows.reshape(rows.shape[0], width)[:, :, None]
              >> np.arange(bits - 1, -1, -1)) & 1
         ).astype(np.uint8)
-        flat = b.reshape(rows.shape[0], w * bits)
+        flat = b.reshape(rows.shape[0], width * bits)
         pad = (-flat.shape[1]) % 8
         if pad:
             flat = np.pad(flat, ((0, 0), (0, pad)))
         return np.packbits(flat, axis=1).tobytes()
 
-    strips = []
-    for y0 in range(0, h, rps):
-        raw = pack(codes[y0 : y0 + rps])
+    def squeeze(raw: bytes) -> bytes:
         if compression == 1:
-            strips.append(raw)
-        elif compression == 5:
-            strips.append(_lzw_encode(raw))
-        elif compression in (8, 32946):
-            strips.append(zlib.compress(raw, 6))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            raise ValueError(f"unsupported compression {compression}")
+            return raw
+        if compression == 5:
+            return _lzw_encode(raw)
+        if compression in (8, 32946):
+            return zlib.compress(raw, 6)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        raise ValueError(f"unsupported compression {compression}")
+
+    plane_arrays = (
+        [codes[:, :, s : s + 1] for s in range(spp)] if planar == 2 else [codes]
+    )
+    strips = []
+    if tiles is not None:
+        tw, th = tiles
+        for plane in plane_arrays:
+            for y0 in range(0, h, th):
+                for x0 in range(0, w, tw):
+                    block = plane[y0 : y0 + th, x0 : x0 + tw]
+                    full = np.zeros((th, tw, plane.shape[2]), dtype=np.uint8)
+                    full[: block.shape[0], : block.shape[1]] = block
+                    strips.append(squeeze(pack(full)))
+    else:
+        for plane in plane_arrays:
+            for y0 in range(0, h, rps):
+                strips.append(squeeze(pack(plane[y0 : y0 + rps])))
 
     # layout: header(8) | strip data | bits array | colormap | IFD
     header = (b"II*\x00" if not big_endian else b"MM\x00*")
@@ -398,11 +491,17 @@ def encode_tiff(
     short(258, *([bits] * spp))
     short(259, compression)
     short(262, photometric)
-    long_(273, *strip_offsets)
+    if tiles is not None:
+        short(322, tiles[0])
+        short(323, tiles[1])
+        long_(324, *strip_offsets)
+        long_(325, *[len(s) for s in strips])
+    else:
+        long_(273, *strip_offsets)
+        short(278, rps)
+        long_(279, *[len(s) for s in strips])
     short(277, spp)
-    short(278, rps)
-    long_(279, *[len(s) for s in strips])
-    short(284, 1)
+    short(284, planar)
     if predictor != 1:
         short(317, predictor)
     if photometric == 3:
