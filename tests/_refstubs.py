@@ -358,10 +358,51 @@ def _install_text_dedup_pkg():
     sys.modules["text_dedup.utils"] = utils
 
 
+class ScalableBloomFilter:
+    """Exact-set stand-in for ``pybloom_live.ScalableBloomFilter`` — the
+    error_rate -> 0 limit of the real filter (zero false positives, the
+    ``add`` returns-seen contract of bloom_filter.py:52-63).  This is the
+    honest oracle surface: the reference ACCEPTS false-positive drops at
+    its configured error rate, while this engine's Bloom path refuses them
+    by construction (operators/bloom.py: a Bloom hit routes to an exact
+    anti-join), so the FP-free limit is exactly the semantics on which the
+    two implementations are defined to agree."""
+
+    SMALL_SET_GROWTH = 2
+    LARGE_SET_GROWTH = 4
+
+    def __init__(self, initial_capacity=100, error_rate=0.001,
+                 mode=SMALL_SET_GROWTH):
+        self.initial_capacity = initial_capacity
+        self.error_rate = error_rate
+        self.mode = mode
+        self._seen: set = set()
+
+    def add(self, item) -> bool:
+        seen = item in self._seen
+        self._seen.add(item)
+        return seen
+
+    def __contains__(self, item) -> bool:
+        return item in self._seen
+
+    def __len__(self) -> int:
+        return len(self._seen)
+
+
+def _install_pybloom():
+    if "pybloom_live" not in sys.modules:
+        mod = types.ModuleType("pybloom_live")
+        mod.__refstub__ = True
+        mod.ScalableBloomFilter = ScalableBloomFilter
+        sys.modules["pybloom_live"] = mod
+
+
 def install_reference_stubs():
     _install_misc()
     _install_bitarray()
     _install_xxhash()
+    _install_pybloom()
     _install_text_dedup_pkg()
 
 

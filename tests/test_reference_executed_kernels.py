@@ -320,3 +320,72 @@ def test_exact_hash_main_matches_engine(spark, tmp_path):
     df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
     ours = exact_dedup(df, "text", id_col="doc_id").orderBy("doc_id").collect()
     assert [r["text"] for r in ours] == ref_survivors
+
+
+# ---------------------------------------------------------------------------
+# bloom filter: execute the reference's actual __main__ (bloom_filter.py:19-80)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_main_matches_engine_history_path(spark, tmp_path):
+    """Execute the reference's bloom_filter.py __main__ via runpy with an
+    exact-set ScalableBloomFilter stand-in (the error_rate -> 0 limit —
+    the one surface on which the two implementations are DEFINED to agree:
+    the reference accepts FP drops at its error rate, this engine's Bloom
+    pre-filter routes every Bloom hit through an exact anti-join and so
+    can never drop a novel row, operators/bloom.py). The reference keeps
+    the first occurrence of each md5 in dataset order; the engine replays
+    the same corpus as an incremental job — first half exact-deduped, the
+    second half Bloom-pre-filtered against that history via
+    ``dedup_against_history`` — and must keep the identical rows."""
+    import runpy
+    import sys as _sys
+
+    from tests import _refstubs
+    from text_dedup_spark.operators.bloom import dedup_against_history
+    from text_dedup_spark.operators.exact import exact_dedup
+
+    _refstubs.install_reference_stubs()
+    from tests.conftest import synth_corpus
+
+    texts = [t for _, t in synth_corpus(160, seed=7, dup_frac=0.45)]
+    _refstubs._DATASET_HOOK["ds"] = _refstubs.FakeDataset({"text": texts})
+    _refstubs._DATASET_HOOK.pop("saved", None)
+    argv = [
+        "bloom_filter",
+        "--path", "in-memory",
+        "--output", str(tmp_path / "out"),
+        "--column", "text",
+        "--batch_size", "48",
+        "--error_rate", "1e-9",
+    ]
+    old_argv = _sys.argv
+    _sys.argv = argv
+    try:
+        runpy.run_path(
+            f"{_refstubs.REFERENCE_ROOT}/bloom_filter.py", run_name="__main__"
+        )
+    finally:
+        _sys.argv = old_argv
+    saved = _refstubs._DATASET_HOOK["saved"]
+    ref_survivors = saved.columns["text"]
+    assert 0 < len(ref_survivors) < len(texts)  # dedup actually happened
+
+    half = len(texts) // 2
+    h1 = spark.createDataFrame(
+        list(enumerate(texts[:half])), ["doc_id", "text"])
+    h2 = spark.createDataFrame(
+        [(half + i, t) for i, t in enumerate(texts[half:])],
+        ["doc_id", "text"])
+    kept1 = exact_dedup(h1, "text", id_col="doc_id")
+    # within-batch keep-first, then the Bloom-pre-filtered history check
+    kept2 = dedup_against_history(
+        exact_dedup(h2, "text", id_col="doc_id"), h1, "text", n_shards=0)
+    ours = kept1.unionByName(kept2).orderBy("doc_id").collect()
+    assert [r["text"] for r in ours] == ref_survivors
+
+    # and the sharded (100-TB) layout keeps the identical rows
+    kept2s = dedup_against_history(
+        exact_dedup(h2, "text", id_col="doc_id"), h1, "text", n_shards=4)
+    ours_s = kept1.unionByName(kept2s).orderBy("doc_id").collect()
+    assert [r["text"] for r in ours_s] == ref_survivors
