@@ -270,7 +270,9 @@ class FakeDataset:
         for i in range(len(self)):
             yield {k: self.columns[k][i] for k in keys}
 
-    def filter(self, fn, with_indices=False, num_proc=None, **_kw):
+    def filter(self, fn=None, with_indices=False, num_proc=None,
+               function=None, **_kw):
+        fn = fn if fn is not None else function  # positional or keyword
         keep = [
             fn(row, i) if with_indices else fn(row)
             for i, row in enumerate(self._rows())
@@ -278,6 +280,45 @@ class FakeDataset:
         return FakeDataset(
             {k: [x for x, f in zip(v, keep) if f] for k, v in self.columns.items()}
         )
+
+    @property
+    def column_names(self):
+        return list(self.columns)
+
+    def remove_columns(self, names):
+        if isinstance(names, str):
+            names = [names]
+        return FakeDataset(
+            {k: v for k, v in self.columns.items() if k not in names}
+        )
+
+    def map(self, function, fn_kwargs=None, input_columns=None,
+            remove_columns=None, with_indices=False, num_proc=None, **_kw):
+        """The slice of ``Dataset.map`` the reference's __main__ blocks use
+        (minhash.py:280-295,333-341): per-example fn, positional
+        ``input_columns`` values (else the row dict), idx appended under
+        ``with_indices``, returned dict MERGED over the row, then
+        ``remove_columns`` dropped."""
+        fn_kwargs = fn_kwargs or {}
+        out_rows = []
+        for i, row in enumerate(self._rows()):
+            if input_columns is not None:
+                args = [row[c] for c in input_columns]
+            else:
+                args = [row]
+            if with_indices:
+                args.append(i)
+            merged = dict(row)
+            merged.update(function(*args, **fn_kwargs))
+            out_rows.append(merged)
+        cols: dict = {k: [] for k in out_rows[0]} if out_rows else {}
+        for r in out_rows:
+            for k in cols:
+                cols[k].append(r[k])
+        ds = FakeDataset(cols)
+        if remove_columns:
+            ds = ds.remove_columns(remove_columns)
+        return ds
 
     def save_to_disk(self, path):
         self.saved_to = path
@@ -396,6 +437,47 @@ def _install_pybloom():
         mod.__refstub__ = True
         mod.ScalableBloomFilter = ScalableBloomFilter
         sys.modules["pybloom_live"] = mod
+
+
+def _install_rich():
+    """rich.logging.RichHandler -> plain StreamHandler (the reference's
+    text_dedup/__init__.py and minhash.py use it only to pretty-print)."""
+    if "rich" not in sys.modules:
+        r = types.ModuleType("rich")
+        rl = types.ModuleType("rich.logging")
+
+        class RichHandler(logging.StreamHandler):
+            def __init__(self, *a, **_kw):  # swallow rich-only kwargs
+                super().__init__()
+
+        rl.RichHandler = RichHandler
+        r.logging = rl
+        sys.modules["rich"] = r
+        sys.modules["rich.logging"] = rl
+
+
+def _install_bare_utils():
+    """The reference's single-node scripts import ``utils`` BARE (they are
+    launched from inside text_dedup/); alias the real reference modules
+    loaded by _install_text_dedup_pkg under those names."""
+    if "utils" in sys.modules:
+        return
+    td_utils = sys.modules["text_dedup.utils"]
+    u = types.ModuleType("utils")
+    u.UnionFind = td_utils.UnionFind
+    u.ngrams = td_utils.ngrams
+    sys.modules["utils"] = u
+    sys.modules["utils.add_args"] = sys.modules["text_dedup.utils"].__dict__.get(
+        "add_args_module"
+    ) or _load_by_path(
+        "utils.add_args", f"{REFERENCE_ROOT}/utils/add_args.py"
+    )
+    sys.modules["utils.timer"] = _load_by_path(
+        "utils.timer", f"{REFERENCE_ROOT}/utils/timer.py"
+    )
+    u.add_args = sys.modules["utils.add_args"]
+    u.timer = sys.modules["utils.timer"]
+    u.Timer = sys.modules["utils.timer"].Timer
 
 
 def install_reference_stubs():

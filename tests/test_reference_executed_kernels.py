@@ -389,3 +389,100 @@ def test_bloom_filter_main_matches_engine_history_path(spark, tmp_path):
         exact_dedup(h2, "text", id_col="doc_id"), h1, "text", n_shards=4)
     ours_s = kept1.unionByName(kept2s).orderBy("doc_id").collect()
     assert [r["text"] for r in ours_s] == ref_survivors
+
+
+# ---------------------------------------------------------------------------
+# single-node minhash: execute the reference's actual __main__ (minhash.py)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_single_node_main_matches_engine(spark, tmp_path):
+    """Execute minhash.py's whole __main__ via runpy (Dataset shim gains
+    ``map``; rich/scipy/bare-``utils`` stubbed — the script imports
+    ``utils`` unqualified because it is launched from inside text_dedup/).
+    Two things are pinned:
+
+    1. EXECUTED FINDING — explicit ``--b/--r`` are dead flags: the branch
+       that accepts them immediately overwrites both with
+       ``optimal_param`` (minhash.py:234-236), so the script ALWAYS runs
+       at the optimal parameters. The engine therefore compares at its
+       own ``MinHashConfig.resolve()`` values and asserts they equal the
+       (B, R) the executed reference chose.
+    2. The reference's keep-cluster-root survivors (``uf.find(idx) ==
+       idx``) equal ``minhash_dedup``'s kept rows row-for-row at the same
+       shingle/permutation config — the single-node UnionFind path this
+       time (no star rounds), complementing the executed minhash_spark
+       parity."""
+    import runpy
+    import sys as _sys
+
+    from tests import _refstubs
+    from tests.test_reference_staged_executed import _install_exec_stubs
+    from text_dedup_spark.config import MinHashConfig
+    from text_dedup_spark.plans.minhash_pipeline import minhash_dedup
+
+    _install_exec_stubs()
+    _refstubs._install_rich()
+    _refstubs._install_bare_utils()
+    from tests.conftest import synth_corpus
+
+    texts = [t for _, t in synth_corpus(140, seed=9, dup_frac=0.4)]
+    _refstubs._DATASET_HOOK["ds"] = _refstubs.FakeDataset({"text": texts})
+    _refstubs._DATASET_HOOK.pop("saved", None)
+    argv = [
+        "minhash",
+        "--path", "in-memory",
+        "--output", str(tmp_path / "out"),
+        "--column", "text",
+        "--ngram", "5",
+        "--num_perm", "64",
+        "--threshold", "0.7",
+        "--batch_size", "50",
+        # dead flags, passed deliberately to pin the finding:
+        "--b", "3", "--r", "21",
+    ]
+    old_argv = _sys.argv
+    _sys.argv = argv
+    try:
+        g = runpy.run_path(
+            f"{_refstubs.REFERENCE_ROOT}/minhash.py", run_name="__main__"
+        )
+    finally:
+        _sys.argv = old_argv
+
+    cfg = MinHashConfig(ngram_size=5, num_perm=64, threshold=0.7).resolve()
+    # finding 1: the explicit (3, 21) was ignored; the executed run chose
+    # optimal_param's answer, which our resolve() reproduces exactly
+    assert (g["B"], g["R"]) == (cfg.b, cfg.r) != (3, 21)
+
+    saved = _refstubs._DATASET_HOOK["saved"]
+    ref_survivors = saved.columns["text"]
+    assert 0 < len(ref_survivors) < len(texts)
+    ref_kept_ids = [i for i in range(len(texts)) if g["uf"].find(i) == i]
+    assert [texts[i] for i in ref_kept_ids] == ref_survivors
+
+    # EXECUTED FINDING 2 — short-doc semantics diverge WITHIN the
+    # reference family: the single-node utils/tokenization.ngrams returns
+    # the whole sequence as ONE gram when len < n (tokenization.py:34-35),
+    # so each sub-ngram doc hashes its own text and stays distinct; the
+    # spark scripts' own ngrams (minhash_spark.py:58-85, docstring even
+    # says "[Almost same as the one in utils/tokenization.py]") yields NO
+    # grams, so every short doc gets the all-MAX_HASH signature and they
+    # mega-bucket together. This engine follows the SPARK semantics (the
+    # north-star target, and what the executed minhash_spark parity pins).
+    import re as _re
+
+    shorts = [i for i, t in enumerate(texts)
+              if len([x for x in _re.split("[^A-Za-z_0-9]", t) if x]) < 5]
+    assert shorts and len({texts[i] for i in shorts}) == len(shorts)
+    # the executed single-node reference kept every (textually distinct)
+    # short doc...
+    assert set(shorts) <= set(ref_kept_ids)
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    res = minhash_dedup(df, "text", cfg, id_col="doc_id")
+    ours_ids = sorted(r["doc_id"] for r in res.kept.collect())
+    # ...while the engine (spark semantics) collapses the shorts to their
+    # min id; on every >=ngram-token doc the two agree row-for-row
+    expected = sorted((set(ref_kept_ids) - set(shorts)) | {min(shorts)})
+    assert ours_ids == expected
