@@ -337,3 +337,78 @@ def test_phase_c_patched_split_matches_engine(spark, staged_run, monkeypatch,
     assert sorted(kept) == ours_kept
     assert sorted(removed) == ours_removed
     assert len(kept) + len(removed) == len(corpus)
+
+
+def _read_csv3(outdir):
+    rows = set()
+    for part in sorted(glob.glob(os.path.join(outdir, "part-*"))):
+        with open(part) as f:
+            for line in f:
+                if line.strip():
+                    a, b, c = line.strip().split(",")
+                    rows.add((int(a), b, int(c)))
+    return rows
+
+
+def test_tmpid2hash_matches_onlyhash_bands(spark, staged_run, monkeypatch):
+    """minhash_spark_tmpID2Hash.py (the one-file staged variant: re-hash an
+    already id-stamped checkpoint) executed on dsB's withid JSON — its
+    (band_idx, b64 hash, id) CSV must equal phase A's, proving the two
+    fork entry points emit interchangeable band checkpoints."""
+    _run_script(
+        f"{REF}/minhash_spark_tmpID2Hash.py",
+        ["--data_path", str(staged_run / "dsB"),
+         "--output", str(staged_run / "dsB_rehash"),
+         "--column", "text",
+         "--ngram_size", str(CFG["ngram_size"]),
+         "--num_perm", str(CFG["num_perm"]),
+         "--b", str(CFG["b"]), "--r", str(CFG["r"]),
+         "--threshold", str(CFG["threshold"])],
+        monkeypatch, staged_run)
+    a = _read_csv3(str(staged_run / "dsB_hashes"))
+    b = _read_csv3(str(staged_run / "dsB_rehash"))
+    assert a and a == b
+
+
+def test_show_splithashesdiff_executes_zero_diff(spark, staged_run,
+                                                 monkeypatch, capsys):
+    """show_splitHashesDiff.py — the fork's own fidelity tool (split-run
+    hashes vs a one-shot merged run; its merged baseline path is HARDCODED
+    to /tmp/code/tiny_owt_hashes, show_splitHashesDiff.py:291). Executed:
+    a merged copy of the corpus (files renamed so sorted order preserves
+    the split runs' id order) hashed in a FRESH cwd (PREV_ID restarts at
+    0) produces byte-identical band records — 'Differences: 0' — and its
+    CC pass finds the same duplicate count as phase B."""
+    import shutil
+
+    merged = staged_run / "merged"
+    merged.mkdir(exist_ok=True)
+    renames = [("dsA", "00.txt", "a00.txt"), ("dsA", "01.txt", "a01.txt"),
+               ("dsB", "00.txt", "b00.txt")]
+    for ds, src, dst in renames:
+        shutil.copyfile(staged_run / ds / src, merged / dst)
+    fresh_cwd = staged_run / "merged_cwd"
+    fresh_cwd.mkdir(exist_ok=True)
+    os.makedirs("/tmp/code", exist_ok=True)
+    common = [
+        "--column", "text",
+        "--ngram_size", str(CFG["ngram_size"]),
+        "--num_perm", str(CFG["num_perm"]),
+        "--b", str(CFG["b"]), "--r", str(CFG["r"]),
+        "--threshold", str(CFG["threshold"]),
+    ]
+    _run_script(
+        f"{REF}/minhash_spark_onlyHash.py",
+        ["--data_path", str(merged),
+         "--output", "/tmp/code/tiny_owt_hashes"] + common,
+        monkeypatch, fresh_cwd)
+    paths_file = staged_run / "data_paths.txt"  # dsA + dsB, written earlier
+    _run_script(
+        f"{REF}/show_splitHashesDiff.py",
+        ["--data_path_file", str(paths_file),
+         "--output", str(staged_run / "diff_out")] + common,
+        monkeypatch, staged_run)
+    out = capsys.readouterr().out
+    assert "Differences:  0" in out
+    n_dups = len(_read_csv_pairs(str(staged_run / "dedup_ids")))
+    assert f"duplicate items found:  {n_dups}" in out
