@@ -338,3 +338,50 @@ def test_cli_bloom(spark, corpus_path, tmp_path):
               "--output", out, "--column", "text", *extra])
         got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert got == truth, tag
+
+
+def test_cli_ann_index_build_append_query(spark, tmp_path):
+    """ann-index drive: build -> query -> append -> query; results equal
+    the library calls on the loaded index (same sidecar trainers)."""
+    import numpy as np
+
+    from text_dedup_spark.operators.ann_index import (
+        ivfpq_index_topk,
+        load_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, rng.normal(size=16).astype(np.float32).tolist())
+            for i in range(200)]
+    corpus_path = str(tmp_path / "vecs")
+    spark.createDataFrame(rows, ["vec_id", "embedding"]).write.parquet(corpus_path)
+    idx_path = str(tmp_path / "annidx")
+    qpath = str(tmp_path / "qs")
+    spark.createDataFrame(rows[:3], ["vec_id", "embedding"]).write.parquet(qpath)
+
+    common = ["--index_path", idx_path, "--n_centroids", "8", "--m", "8"]
+    _run(["ann-index", "--action", "build", "--input", corpus_path, *common])
+    out1 = str(tmp_path / "res1")
+    _run(["ann-index", "--action", "query", "--input", qpath,
+          "--output", out1, "--k", "5", "--n_probe", "3", *common])
+    got = {tuple(r) for r in spark.read.parquet(out1).collect()}
+    index = load_ivfpq_index(spark, idx_path)
+    lib = {tuple(r) for r in ivfpq_index_topk(
+        spark, index, spark.read.parquet(qpath), 5, n_probe=3).collect()}
+    assert got == lib and len(got) == 15
+
+    # append new vectors; a query AT one of them must now see its planted
+    # exact twin (cosine 1.0 neighbor)
+    twin = [(10_000, rows[7][1]), (10_001, rng.normal(size=16).astype(np.float32).tolist())]
+    apath = str(tmp_path / "new")
+    spark.createDataFrame(twin, ["vec_id", "embedding"]).write.parquet(apath)
+    _run(["ann-index", "--action", "append", "--input", apath, *common])
+    q2 = str(tmp_path / "q2")
+    spark.createDataFrame([twin[0]], ["vec_id", "embedding"]).write.parquet(q2)
+    out2 = str(tmp_path / "res2")
+    _run(["ann-index", "--action", "query", "--input", q2,
+          "--output", out2, "--k", "3", "--n_probe", "3",
+          "--refine", "10", "--corpus", corpus_path, *common])
+    res = spark.read.parquet(out2).collect()
+    top = [r for r in res if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 7 and top["score"] == 1.0

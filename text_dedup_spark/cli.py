@@ -479,6 +479,49 @@ def cmd_redact_pii(args) -> None:
         spark.stop()
 
 
+def cmd_ann_index(args) -> None:
+    from .operators.ann_index import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        load_ivfpq_index,
+    )
+
+    spark, _own = _session("text-dedup-ann-index")
+    try:
+        if args.action == "build":
+            if not args.input:
+                raise SystemExit("ann-index build needs --input")
+            corpus = _read(spark, args.input, args.format)
+            build_ivfpq_index(
+                corpus, args.index_path,
+                id_col=args.id_column, vec_col=args.vec_column,
+                n_centroids=args.n_centroids, m=args.m, nbits=args.nbits,
+            )
+        elif args.action == "append":
+            if not args.input:
+                raise SystemExit("ann-index append needs --input")
+            index = load_ivfpq_index(spark, args.index_path)
+            append_to_ivfpq_index(
+                index, _read(spark, args.input, args.format))
+        else:
+            if not (args.input and args.output):
+                raise SystemExit("ann-index query needs --input and --output")
+            index = load_ivfpq_index(spark, args.index_path)
+            corpus = (
+                _read(spark, args.corpus, args.format) if args.corpus else None
+            )
+            out = ivfpq_index_topk(
+                spark, index, _read(spark, args.input, args.format),
+                args.k, n_probe=args.n_probe, refine=args.refine,
+                corpus=corpus,
+            )
+            _write(out, args.output, args.output_format)
+    finally:
+        if _own:
+            spark.stop()
+
+
 def build_parser() -> argparse.ArgumentParser:
     top = argparse.ArgumentParser(prog="text_dedup_spark")
     sub = top.add_subparsers(dest="cmd", required=True)
@@ -742,6 +785,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--column", default="text")
     p.add_argument("--id_column", default=None)
     p.set_defaults(fn=cmd_redact_pii)
+
+    p = sub.add_parser(
+        "ann-index",
+        help="persisted IVF-PQ index: build once (cell-partitioned parquet "
+        "+ sidecar trainers), append O(new), query with partition-pruned "
+        "probes",
+    )
+    p.add_argument("--action", required=True,
+                   choices=["build", "append", "query"])
+    p.add_argument("--index_path", required=True)
+    p.add_argument("--input", default=None,
+                   help="vector table (build/append: corpus; query: queries)")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "json", "iceberg"])
+    p.add_argument("--id_column", default="vec_id")
+    p.add_argument("--vec_column", default="embedding")
+    p.add_argument("--n_centroids", type=int, default=64)
+    p.add_argument("--m", type=int, default=8)
+    p.add_argument("--nbits", type=int, default=8)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n_probe", type=int, default=8)
+    p.add_argument("--refine", type=int, default=0)
+    p.add_argument("--corpus", default=None,
+                   help="raw-vector table for --refine re-ranking (the "
+                   "index stores codes only)")
+    p.add_argument("--output", default=None, help="query results (query)")
+    p.add_argument("--output_format", default="parquet",
+                   choices=["parquet", "json"])
+    p.set_defaults(fn=cmd_ann_index)
 
     return top
 
