@@ -216,14 +216,16 @@ def test_jpeg_codec_roundtrips():
     assert 30 < psnr(img, q8) < psnr(img, decode_jpeg_baseline(encode_jpeg_baseline(img, 1)))
 
 
-def test_jpeg_decoder_rejects_arithmetic_and_garbage():
+def test_jpeg_decoder_rejects_unsupported_sof_and_garbage():
     import pytest as _pytest
 
     from text_dedup_spark.sources.jpeg import decode_jpeg_baseline, encode_jpeg_baseline
 
     data = bytearray(encode_jpeg_baseline(_smooth_rgb(16, 16), 1))
     sof = data.index(b"\xff\xc0")
-    data[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    # SOF9 (sequential arithmetic) DECODES as of round 4 — the unsupported
+    # representative is now SOF10 (progressive arithmetic)
+    data[sof + 1] = 0xCA
     with _pytest.raises(NotImplementedError):
         decode_jpeg_baseline(bytes(data))
     # SOF0 -> SOF2 with a baseline SOS (Ss=0, Se=63) is MALFORMED
@@ -332,7 +334,8 @@ def test_undecodable_jpeg_flag_policy_end_to_end(spark):
     """VERDICT r2 #7: a mixed decodable+undecodable fixture processes
     end-to-end under undecodable='flag' — arithmetic-coded rows get
     decode_ok=false (excluded from the phash modality only), none crash,
-    and exact-bytes + caption dedup still cover them. Progressive (SOF2)
+    and exact-bytes + caption dedup still cover them (sequential
+    arithmetic now decodes; SOF10 stands in). Progressive (SOF2)
     rows now DECODE for real and ride the pixel modality."""
     from text_dedup_spark.config import MinHashConfig, SimHashConfig
     from text_dedup_spark.functions.image_udf import phash_from_bytes_flagged
@@ -346,7 +349,7 @@ def test_undecodable_jpeg_flag_policy_end_to_end(spark):
     def undecodable(img):
         data = bytearray(encode_jpeg_baseline(img, 1))
         sof = data.index(b"\xff\xc0")
-        data[sof + 1] = 0xC9  # arithmetic sequential: valid format, no codec
+        data[sof + 1] = 0xCA  # progressive arithmetic: valid format, no codec
         return bytes(data)
 
     assert try_decode_image(undecodable(_smooth_rgb(16, 16)), "jpeg") is None

@@ -186,6 +186,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     restart_interval = 0
     out = None
     progressive = False
+    arithmetic = False
+    dc_cond = {}  # DAC Tc=0: table id -> (L, U) conditioning bounds
+    ac_cond = {}  # DAC Tc=1: table id -> Kx
     coefs = None  # per-component (blocks_y, blocks_x, 64) zigzag coefficients
 
     while pos < len(data) - 1:
@@ -212,8 +215,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
                     p += 128
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/SOF1 baseline, SOF2 progressive, SOF9 sequential arithmetic
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"unsupported precision {precision}")
@@ -228,11 +233,21 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
                     raise ValueError(f"invalid sampling factors {hs}x{vs}")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only DCT sequential/progressive Huffman JPEG is supported "
-                f"(SOF marker 0x{marker:02X})"
+                "only DCT sequential (Huffman/arithmetic) and progressive "
+                f"Huffman JPEG are supported (SOF marker 0x{marker:02X})"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                val = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (val & 0xF, val >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = val  # Kx
+                p += 2
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -266,10 +281,16 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             if not progressive:
-                out = _decode_scan(
-                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval,
-                )
+                if arithmetic:
+                    out = _decode_scan_arith(
+                        data, pos + seglen, frame, scan, qt, dc_cond,
+                        ac_cond, restart_interval,
+                    )
+                else:
+                    out = _decode_scan(
+                        data, pos + seglen, frame, scan, qt, huff_dc,
+                        huff_ac, restart_interval,
+                    )
                 break
             if coefs is None:
                 coefs = _alloc_coefs(frame)
@@ -336,6 +357,143 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interva
                             k += r
                             coeffs[k] = _extend(reader.read_bits(s), s)
                             k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coeffs * q[np.arange(64)]
+                        spatial = _idct(block.reshape(8, 8)) + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+
+    return _assemble_planes(planes, scan, hmax, vmax, h, w)
+
+
+def _arith_decode_dc(dec, st, ctx, cond):
+    """One DC difference (T.81 F.2.4.1; bin layout of Table F.4: S0 = the
+    conditioning context, SS = S0+1, SP/SN = S0+2/3, X1 = 20, magnitude
+    bits at the stopped X bin + 14). Returns (diff, new_context)."""
+    L, U = cond
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    idx = ctx + 2 + sign
+    m = dec.decode(st, idx)
+    if m:
+        idx = 20
+        while dec.decode(st, idx):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("corrupt arithmetic DC magnitude")
+            idx += 1
+    # conditioning category for the NEXT block (F.1.4.4.1.2)
+    if m < (1 << L) >> 1:
+        new_ctx = 0
+    elif m > (1 << U) >> 1:
+        new_ctx = 12 + 4 * sign
+    else:
+        new_ctx = 4 + 4 * sign
+    v = m
+    idx += 14
+    mm = m
+    while mm := mm >> 1:
+        if dec.decode(st, idx):
+            v |= mm
+    v += 1
+    return (-v if sign else v), new_ctx
+
+
+def _arith_decode_block_ac(dec, st, fixed, kx, coeffs):
+    """AC coefficients 1..63 into zigzag ``coeffs`` (T.81 F.2.4.2; bins
+    3*(k-1)+{0:EOB, 1:nonzero, 2:size}, high-magnitude trees at 189/217
+    split on k <= Kx, magnitude bits at the stopped bin + 14)."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):
+            break  # EOB
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > 63:
+                raise ValueError("corrupt arithmetic AC run")
+        sign = dec.decode(fixed, 0)
+        idx = base + 2
+        m = dec.decode(st, idx)
+        if m:
+            if dec.decode(st, idx):
+                m = 2
+                idx = 189 if k <= kx else 217
+                while dec.decode(st, idx):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("corrupt arithmetic AC magnitude")
+                    idx += 1
+        v = m
+        idx += 14
+        mm = m
+        while mm := mm >> 1:
+            if dec.decode(st, idx):
+                v |= mm
+        v += 1
+        coeffs[k] = -v if sign else v
+        k += 1
+
+
+def _decode_scan_arith(data, start, frame, scan, qt, dc_cond, ac_cond,
+                       restart_interval):
+    """Sequential arithmetic-coded scan (SOF9): same MCU walk as
+    ``_decode_scan``, entropy layer swapped for the T.81 QM coder with
+    the DC/AC statistics models of §F.2.4 (jdarith-compatible bin
+    layout). Restart markers re-initialize the coder AND all statistics."""
+    from .jpeg_arith import FIXED_BIN, ArithDecoder
+
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in scan
+    ]
+
+    def fresh_stats():
+        return (
+            {c["dc"]: bytearray(64) for c in scan},
+            {c["ac"]: bytearray(256) for c in scan},
+            bytearray([FIXED_BIN]),
+            [0] * len(scan),  # dc_context per component
+            [0] * len(scan),  # last dc value per component
+        )
+
+    dec = ArithDecoder(data, start)
+    dc_st, ac_st, fixed, dc_ctx, last_dc = fresh_stats()
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                p = dec.bp
+                while p + 1 < len(data) and not (
+                    data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    p += 1
+                if p + 1 >= len(data):
+                    raise ValueError("missing restart marker")
+                dec = ArithDecoder(data, p + 2)
+                dc_st, ac_st, fixed, dc_ctx, last_dc = fresh_stats()
+            for ci, comp in enumerate(scan):
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        diff, dc_ctx[ci] = _arith_decode_dc(
+                            dec, dc_st[comp["dc"]], dc_ctx[ci],
+                            dc_cond.get(comp["dc"], (0, 1)))
+                        last_dc[ci] += diff
+                        coeffs[0] = last_dc[ci]
+                        _arith_decode_block_ac(
+                            dec, ac_st[comp["ac"]], fixed,
+                            ac_cond.get(comp["ac"], 5), coeffs)
                         block = np.zeros(64, dtype=np.float64)
                         block[_ZIGZAG] = coeffs * q[np.arange(64)]
                         spatial = _idct(block.reshape(8, 8)) + 128.0
@@ -679,6 +837,169 @@ def encode_jpeg_baseline(
             mcu_count += 1
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _arith_encode_dc(enc, st, ctx, cond, diff):
+    """Encode one DC difference (mirror of ``_arith_decode_dc``); returns
+    the next conditioning context."""
+    L, U = cond
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    sz = abs(diff) - 1
+    idx = ctx + 2 + sign
+    if sz == 0:
+        enc.encode(st, idx, 0)
+        m = 0
+    else:
+        enc.encode(st, idx, 1)
+        m = 1
+        idx = 20
+        while sz >= (m << 1):
+            enc.encode(st, idx, 1)
+            m <<= 1
+            idx += 1
+        enc.encode(st, idx, 0)
+    if m < (1 << L) >> 1:
+        new_ctx = 0
+    elif m > (1 << U) >> 1:
+        new_ctx = 12 + 4 * sign
+    else:
+        new_ctx = 4 + 4 * sign
+    idx += 14
+    mm = m
+    while mm := mm >> 1:
+        enc.encode(st, idx, 1 if (sz & mm) else 0)
+    return new_ctx
+
+
+def _arith_encode_block_ac(enc, st, fixed, kx, zz):
+    """Encode AC coefficients (mirror of ``_arith_decode_block_ac``)."""
+    nz = [k for k in range(1, 64) if zz[k] != 0]
+    last = nz[-1] if nz else 0
+    k = 1
+    while k <= last:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB at this position
+        while zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base += 3
+        enc.encode(st, base + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        sz = abs(v) - 1
+        idx = base + 2
+        if sz == 0:
+            enc.encode(st, idx, 0)
+            m = 0
+        else:
+            enc.encode(st, idx, 1)
+            if sz == 1:
+                enc.encode(st, idx, 0)
+                m = 1
+            else:
+                enc.encode(st, idx, 1)
+                m = 2
+                idx = 189 if k <= kx else 217
+                while sz >= (m << 1):
+                    enc.encode(st, idx, 1)
+                    m <<= 1
+                    idx += 1
+                enc.encode(st, idx, 0)
+        idx += 14
+        mm = m
+        while mm := mm >> 1:
+            enc.encode(st, idx, 1 if (sz & mm) else 0)
+        k += 1
+    if last < 63:
+        enc.encode(st, 3 * last, 1)  # EOB
+
+
+def encode_jpeg_arith(
+    arr: np.ndarray,
+    quant_scale: int = 1,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> SOF9 arithmetic-coded JFIF bytes —
+    the independent forward path for the arithmetic decoder (same flat
+    quantization / subsampling surface as ``encode_jpeg_baseline``; DAC
+    carries the default conditioning (L=0, U=1, Kx=5) explicitly)."""
+    from .jpeg_arith import FIXED_BIN, ArithEncoder
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    planes, factors = _split_planes(arr, subsampling)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    q = np.full(64, int(quant_scale), dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(q.astype(np.uint8)))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, (factors[c][0] << 4) | factors[c][1], 0])
+    out += _seg(0xC9, sof)  # SOF9: extended sequential, arithmetic coding
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # DAC: L=0 U=1; Kx=5
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        th, tw = mcus_y * fv * 8, mcus_x * fh * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    def fresh():
+        return (
+            ArithEncoder(), bytearray(64), bytearray(256),
+            bytearray([FIXED_BIN]), [0] * ncomp, [0] * ncomp,
+        )
+
+    enc, dc_st, ac_st, fixed, dc_ctx, pred = fresh()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                enc, dc_st, ac_st, fixed, dc_ctx, pred = fresh()
+            for ci, p in enumerate(padded):
+                fh, fv = factors[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = np.round(
+                            _fdct(block) / float(quant_scale)
+                        ).astype(np.int64)
+                        zz = coef.ravel()[_ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        dc_ctx[ci] = _arith_encode_dc(
+                            enc, dc_st, dc_ctx[ci], (0, 1), diff)
+                        _arith_encode_block_ac(enc, ac_st, fixed, 5, zz)
+            mcu_count += 1
+    out += enc.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
