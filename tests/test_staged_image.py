@@ -125,7 +125,8 @@ def test_staged_features_flag_policy(spark, tmp_path):
     def undecodable(img):
         data = bytearray(encode_jpeg_baseline(img, 1))
         sof = data.index(b"\xff\xc0")
-        data[sof + 1] = 0xC9  # arithmetic-coded: valid format, no codec
+        data[sof + 1] = 0xCA  # progressive arithmetic: valid format, no codec
+        # (SOF9 sequential arithmetic DECODES as of round 4)
         return bytes(data)
 
     def cap(i):
