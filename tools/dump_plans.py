@@ -173,6 +173,27 @@ def main() -> None:
                        refine=20)),
     ))
 
+    import tempfile
+
+    from text_dedup_spark.operators.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    idx_path = tempfile.mkdtemp(prefix="plans_annidx_") + "/idx"
+    index = build_ivfpq_index(emb, idx_path, n_centroids=16, m=8)
+    sections.append((
+        "Persisted IVF-PQ index probe (partition-pruned scan)",
+        "The serving shape: the index table is parquet partitionBy(cell) "
+        "(on-disk inverted lists) and the probed-cell set becomes a "
+        "literal `cell IN (...)` PartitionFilters entry on the scan — "
+        "the FileScan reads n_probe/n_centroids of the table's "
+        "directories; PushedFilters stays empty because the pruning is "
+        "purely at the partition (directory) level and pq_code rows are "
+        "consumed whole by the ADC ArrowEvalPython.",
+        fmt(ivfpq_index_topk(spark, index, queries, 10, n_probe=4)),
+    ))
+
     out = ["# PLANS — physical-plan evidence (`explain(\"formatted\")`)",
            "", "Generated by tools/dump_plans.py at sf0.01; regenerate after "
            "operator changes. Manually-curated sections below the marker "
