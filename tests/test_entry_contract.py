@@ -72,6 +72,15 @@ def test_query_matches_oracle(spark, ddb, name):
     assert _rowset(spark_cols, spark_rows) == _rowset(ddb_cols, ddb_rows)
 
 
+def test_board_is_fully_oracled():
+    """Round 4 closed the board's last gray cells: every queries() entry
+    must carry an oracle_sql() entry (the ANN oracles may legitimately
+    omit themselves via OracleMarginError on a boundary-sitting corpus —
+    if that ever fires, this test names the regression instead of a
+    silent skip)."""
+    assert ROWS_ONLY == [], f"rows-only queries reappeared: {ROWS_ONLY}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
