@@ -141,3 +141,80 @@ def test_append_is_o_new_and_visible(spark, built):
            ivfpq_index_topk(spark, index, queries, 5, n_probe=4).collect()}
     exp = _numpy_topk(index, all_rows, new_rows[:3], 5, 4, 0)
     assert got == exp
+
+def test_compact_one_file_per_cell_same_topk(spark, built):
+    """Verdict r4 #7: append-then-compact returns identical top-k, and the
+    rewrite leaves exactly one file per cell directory."""
+    from text_dedup_spark.operators.ann_index import compact_ivfpq_index
+
+    path, rows, corpus, index = built
+    extra = _vectors(40, seed=23, start=20_000)
+    append_to_ivfpq_index(
+        index, spark.createDataFrame(extra, ["vec_id", "embedding"]))
+    queries = corpus.where("vec_id < 3")
+    before = {tuple(r) for r in
+              ivfpq_index_topk(spark, index, queries, 5, n_probe=4).collect()}
+    assert any(
+        len(glob.glob(os.path.join(d, "*.parquet"))) > 1
+        for d in glob.glob(os.path.join(path, "cell=*"))
+    ), "appends should have produced multi-file cells to compact"
+
+    stats = compact_ivfpq_index(spark, index)
+    assert stats["files_after"] < stats["files_before"]
+    for d in glob.glob(os.path.join(path, "cell=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    # no half-written temp left behind
+    assert not glob.glob(path.rstrip("/") + "__compact_tmp")
+
+    after = {tuple(r) for r in
+             ivfpq_index_topk(spark, index, queries, 5, n_probe=4).collect()}
+    assert after == before
+    # row count preserved exactly
+    assert spark.read.parquet(path).count() == stats["rows"]
+
+
+def test_drift_report_tracks_appends(spark, built):
+    """built_frac reflects the sidecar's build-time distribution; appends
+    move current_frac away from it and the drift column shows the gap."""
+    from pyspark.sql import functions as F
+
+    from text_dedup_spark.operators.ann_index import ivfpq_drift_report
+
+    path, rows, corpus, index = built
+    loaded = load_ivfpq_index(spark, path)  # sidecar round-trips the counts
+    assert loaded.built_cells == index.built_cells
+    assert sum(index.built_cells.values()) == N
+
+    rep = ivfpq_drift_report(spark, loaded).collect()
+    total_current = sum(r["current_rows"] for r in rep)
+    assert total_current == spark.read.parquet(path).count() > N  # appends landed
+    assert sum(r["built_rows"] for r in rep) == N
+    for r in rep:
+        assert abs(
+            r["drift"] - (r["current_frac"] - r["built_frac"])) < 1e-12
+    tvd = sum(abs(r["drift"]) for r in rep) / 2
+    assert 0.0 <= tvd <= 1.0
+
+    df = ivfpq_drift_report(spark, loaded)
+    assert df.columns == [
+        "cell", "built_rows", "current_rows",
+        "built_frac", "current_frac", "drift"]
+    # same-seed appends barely move the distribution
+    got_tvd = df.agg((F.sum(F.abs(F.col("drift"))) / 2).alias("t")).collect()[0]["t"]
+    assert abs(got_tvd - tvd) < 1e-12
+
+
+def test_sidecar_rides_hadoop_fs_scheme_path(spark, tmp_path):
+    """ADVICE r4: sidecar/meta must go through the Hadoop FileSystem API so
+    a non-driver-local index path works. An explicit ``file:`` URI exercises
+    that routing end to end (local open() on the raw string would fail)."""
+    path = "file://" + str(tmp_path / "fsidx")
+    rows = _vectors(120, seed=7)
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    index = build_ivfpq_index(corpus, path, n_centroids=8, m=4, nbits=8)
+    loaded = load_ivfpq_index(spark, path)
+    assert np.array_equal(loaded.centroids, index.centroids)
+    assert loaded.built_cells == index.built_cells
+    got = ivfpq_index_topk(
+        spark, loaded, corpus.where("vec_id < 2"), 3, n_probe=3).count()
+    assert got == 6

@@ -483,6 +483,8 @@ def cmd_ann_index(args) -> None:
     from .operators.ann_index import (
         append_to_ivfpq_index,
         build_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_drift_report,
         ivfpq_index_topk,
         load_ivfpq_index,
     )
@@ -504,6 +506,21 @@ def cmd_ann_index(args) -> None:
             index = load_ivfpq_index(spark, args.index_path)
             append_to_ivfpq_index(
                 index, _read(spark, args.input, args.format))
+        elif args.action == "compact":
+            index = load_ivfpq_index(spark, args.index_path)
+            stats = compact_ivfpq_index(spark, index)
+            print(json.dumps({"action": "compact", **stats}))
+        elif args.action == "drift":
+            index = load_ivfpq_index(spark, args.index_path)
+            report = ivfpq_drift_report(spark, index)
+            if args.output:
+                _write(report, args.output, args.output_format)
+            from pyspark.sql import functions as F
+
+            tvd = report.agg(
+                (F.sum(F.abs(F.col("drift"))) / 2).alias("tvd")).collect()[0]["tvd"]
+            print(json.dumps({"action": "drift",
+                              "total_variation_distance": round(float(tvd), 6)}))
         else:
             if not (args.input and args.output):
                 raise SystemExit("ann-index query needs --input and --output")
@@ -793,7 +810,7 @@ def build_parser() -> argparse.ArgumentParser:
         "probes",
     )
     p.add_argument("--action", required=True,
-                   choices=["build", "append", "query"])
+                   choices=["build", "append", "query", "compact", "drift"])
     p.add_argument("--index_path", required=True)
     p.add_argument("--input", default=None,
                    help="vector table (build/append: corpus; query: queries)")

@@ -11,13 +11,20 @@ persists that state:
   ``n_probe`` cells is a STATIC PARTITION-PRUNED scan reading
   n_probe/n_centroids of the data (plan-asserted in tests; the engine's
   disk analog of FAISS's inverted lists);
-- the SIDECAR: centroids + PQ codebooks + params in one ``.npz`` next to
-  the table (a few MB at any corpus size — 4096 cells x 64 dims + 8x256
-  codewords; an object-store backend would put/get the same blob);
+- the SIDECAR: centroids + PQ codebooks + params + build-time cell
+  distribution in one ``.npz`` next to the table (a few MB at any corpus
+  size — 4096 cells x 64 dims + 8x256 codewords), read/written through
+  the Hadoop FileSystem API so it lives on the SAME filesystem as the
+  table (local, HDFS, s3a, ...) rather than the driver's local disk;
 - ``append``: new vectors encode with the FROZEN trainers (no retrain, no
   touch of existing cells' files) and land as additional files inside
   their cells' directories — cost scales with the new data only, matching
-  ``stage_dedup_incremental``'s contract for the dedup tables.
+  ``stage_dedup_incremental``'s contract for the dedup tables;
+- maintenance: ``compact_ivfpq_index`` merges each cell's accumulated
+  append files into one (Iceberg ``rewrite_data_files`` analog, swap via
+  FileSystem.rename so probes never see a half-written cell) and
+  ``ivfpq_drift_report`` compares per-cell fill now vs at build time —
+  the rebuild trigger for an index that lives through months of appends.
 
 Reference anchor: the reference has no ANN surface at all (its nearest
 analog is the band-hash checkpoint CSV, minhash_spark_onlyHash.py:383);
@@ -28,7 +35,7 @@ from __future__ import annotations
 
 import io
 import json
-import os
+import posixpath
 from dataclasses import dataclass
 
 import numpy as np
@@ -50,12 +57,43 @@ _SIDECAR = "_ann_sidecar.npz"
 _META = "_ann_meta.json"
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` resolved through the session's
+    Hadoop conf — the sidecar/meta blobs ride the SAME filesystem as the
+    parquet table (local, HDFS, s3a, ...), not the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_write_bytes(spark: SparkSession, path_str: str, data: bytes) -> None:
+    fs, jpath = _hadoop_fs(spark, path_str)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _fs_read_bytes(spark: SparkSession, path_str: str) -> bytes:
+    fs, jpath = _hadoop_fs(spark, path_str)
+    stream = fs.open(jpath)
+    try:
+        sink = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536, False)
+        return bytes(sink.toByteArray())
+    finally:
+        stream.close()
+
+
 @dataclass(frozen=True)
 class IvfPqIndex:
     path: str
     centroids: np.ndarray  # (n_centroids, dim) unit rows
     codebooks: np.ndarray  # (m, 2**nbits, dim/m)
     meta: dict
+    built_cells: dict | None = None  # cell -> row count at build time
 
     @property
     def n_centroids(self) -> int:
@@ -88,7 +126,21 @@ def build_ivfpq_index(
     )
     # parquet overwrite first (it clears the directory), sidecar after
     _encode_rows(corpus, idx).write.mode("overwrite").partitionBy("cell").parquet(path)
-    _write_sidecar(idx)
+    spark = corpus.sparkSession
+    # build-time per-cell fill (read back from the written table: exact,
+    # one column-pruned scan of the fresh codes) — the drift report's
+    # training-distribution anchor
+    built = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(path).groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")).collect()  # <= n_centroids rows
+    }
+    idx = IvfPqIndex(
+        path=path, centroids=cents, codebooks=codebooks,
+        meta={**idx.meta, "built_rows": int(sum(built.values()))},
+        built_cells=built,
+    )
+    _write_sidecar(spark, idx)
     return idx
 
 
@@ -104,14 +156,18 @@ def append_to_ivfpq_index(index: IvfPqIndex, new_corpus: DataFrame) -> None:
 
 
 def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
-    with open(os.path.join(path, _META)) as f:
-        meta = json.load(f)
-    with open(os.path.join(path, _SIDECAR), "rb") as f:
-        blob = np.load(io.BytesIO(f.read()))
-        return IvfPqIndex(
-            path=path, centroids=blob["centroids"],
-            codebooks=blob["codebooks"], meta=meta,
-        )
+    meta = json.loads(
+        _fs_read_bytes(spark, posixpath.join(path, _META)).decode("utf-8"))
+    blob = np.load(io.BytesIO(_fs_read_bytes(spark, posixpath.join(path, _SIDECAR))))
+    built = (
+        {int(c): int(n) for c, n in zip(blob["cell_ids"], blob["cell_counts"])}
+        if "cell_ids" in blob.files
+        else None  # pre-drift-report sidecar: no build-time distribution
+    )
+    return IvfPqIndex(
+        path=path, centroids=blob["centroids"],
+        codebooks=blob["codebooks"], meta=meta, built_cells=built,
+    )
 
 
 def ivfpq_index_topk(
@@ -205,11 +261,89 @@ def _encode_rows(corpus: DataFrame, index: IvfPqIndex) -> DataFrame:
     )
 
 
-def _write_sidecar(index: IvfPqIndex) -> None:
-    os.makedirs(index.path, exist_ok=True)
+def _write_sidecar(spark: SparkSession, index: IvfPqIndex) -> None:
+    built = index.built_cells or {}
+    cell_ids = np.array(sorted(built), dtype=np.int64)
     buf = io.BytesIO()
-    np.savez(buf, centroids=index.centroids, codebooks=index.codebooks)
-    with open(os.path.join(index.path, _SIDECAR), "wb") as f:
-        f.write(buf.getvalue())
-    with open(os.path.join(index.path, _META), "w") as f:
-        json.dump(index.meta, f)
+    np.savez(
+        buf, centroids=index.centroids, codebooks=index.codebooks,
+        cell_ids=cell_ids,
+        cell_counts=np.array([built[c] for c in cell_ids], dtype=np.int64),
+    )
+    _fs_write_bytes(spark, posixpath.join(index.path, _SIDECAR), buf.getvalue())
+    _fs_write_bytes(
+        spark, posixpath.join(index.path, _META),
+        json.dumps(index.meta).encode("utf-8"),
+    )
+
+
+def compact_ivfpq_index(spark: SparkSession, index: IvfPqIndex) -> dict:
+    """Merge each cell's accumulated small files into ONE file per cell —
+    the index analog of Iceberg's ``rewrite_data_files``. Repeated
+    ``append`` calls leave one file per (append job task, cell); months of
+    appends turn every probe into a many-small-files scan. The rewrite is
+    a single shuffle: hash-repartition by ``cell`` puts each cell's rows
+    in exactly one task, so ``partitionBy("cell")`` emits one file per
+    cell. Data lands in a sibling temp dir first and the cell directories
+    are swapped via FileSystem.rename, so probes never see a half-written
+    cell; the sidecar/meta blobs are untouched (codes are re-laid-out,
+    never re-encoded). Returns {files_before, files_after, rows}."""
+    table = spark.read.parquet(index.path)
+    files_before = table.select(F.input_file_name()).distinct().count()
+    rows = table.count()
+    tmp = index.path.rstrip("/") + "__compact_tmp"
+    table.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell").parquet(tmp)
+    fs, root = _hadoop_fs(spark, index.path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for st in fs.listStatus(jpath(tmp)):
+        name = st.getPath().getName()
+        if not name.startswith("cell="):
+            continue
+        dst = jpath(root, name)
+        fs.delete(dst, True)
+        fs.rename(st.getPath(), dst)
+    fs.delete(jpath(tmp), True)
+    files_after = (
+        spark.read.parquet(index.path).select(F.input_file_name())
+        .distinct().count()
+    )
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows}
+
+
+def ivfpq_drift_report(spark: SparkSession, index: IvfPqIndex) -> DataFrame:
+    """Per-cell fill now vs at build time: ``(cell, built_rows,
+    current_rows, built_frac, current_frac, drift)`` where ``drift`` =
+    current_frac - built_frac. Appends encode with FROZEN trainers, so
+    when the appended distribution shifts, rows pile into cells the
+    centroids under-represent and recall sags; 0.5 * sum(|drift|) (total
+    variation distance, one agg over <= n_centroids rows) is the rebuild
+    trigger a maintenance job should alarm on. One column-pruned scan of
+    the code table; everything else is <= n_centroids rows."""
+    if index.built_cells is None:
+        raise ValueError(
+            "index sidecar predates drift tracking — rebuild to record the "
+            "build-time cell distribution")
+    built_total = max(1, sum(index.built_cells.values()))
+    built_df = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in sorted(index.built_cells.items())],
+        "cell int, built_rows long",
+    )
+    cur = spark.read.parquet(index.path).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("current_rows"))
+    joined = built_df.join(cur, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("built_rows", F.lit(0)).alias("built_rows"),
+        F.coalesce("current_rows", F.lit(0)).alias("current_rows"),
+    )
+    total = joined.agg(F.sum("current_rows")).collect()[0][0] or 1
+    return joined.select(
+        "cell", "built_rows", "current_rows",
+        (F.col("built_rows") / F.lit(float(built_total))).alias("built_frac"),
+        (F.col("current_rows") / F.lit(float(total))).alias("current_frac"),
+        (
+            F.col("current_rows") / F.lit(float(total))
+            - F.col("built_rows") / F.lit(float(built_total))
+        ).alias("drift"),
+    ).orderBy("cell")
