@@ -110,11 +110,13 @@ REAL_TIFF_B64 = (
 
 
 @pytest.mark.parametrize("comp", [1, 5, 8, 32773])
-@pytest.mark.parametrize("tiles", [(8, 8), (5, 3), (16, 16)])
+@pytest.mark.parametrize("tiles", [(16, 16), (16, 32), (32, 16)])
 def test_tiff_tiled_roundtrip(comp, tiles):
-    """Tiled layout: edge tiles padded to full tile size; output pixels
-    must equal the strip layout's (cross-layout parity on one array)."""
-    arr = RNG.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    """Tiled layout (16-multiple dims per TIFF 6.0): edge tiles padded to
+    full tile size; output pixels must equal the strip layout's
+    (cross-layout parity on one array). 37x29 -> multi-tile grids with
+    partial edge tiles at every parametrized tile size."""
+    arr = RNG.randint(0, 256, (37, 29, 3)).astype(np.uint8)
     strip = decode_tiff(encode_tiff(arr, compression=comp))
     for be in (False, True):
         data = encode_tiff(arr, compression=comp, tiles=tiles, big_endian=be)
@@ -141,9 +143,18 @@ def test_tiff_planar_roundtrip(photo, bits, shape, comp):
 
 
 def test_tiff_planar_tiled_combined():
-    arr = RNG.randint(0, 256, (10, 9, 3)).astype(np.uint8)
-    data = encode_tiff(arr, compression=8, planar=2, tiles=(4, 6))
+    # 16-multiple tile dims (TIFF 6.0 p.67); 20x35 -> a 2x3 tile grid with
+    # zero-padded edge tiles in BOTH dimensions
+    arr = RNG.randint(0, 256, (20, 35, 3)).astype(np.uint8)
+    data = encode_tiff(arr, compression=8, planar=2, tiles=(16, 16))
     assert np.array_equal(decode_tiff(data), arr)
+
+
+def test_tiff_tiles_must_be_16_multiples():
+    arr = RNG.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    for bad in ((4, 16), (16, 6), (4, 4)):
+        with pytest.raises(ValueError, match="multiples of 16"):
+            encode_tiff(arr, tiles=bad)
 
 
 @pytest.mark.parametrize("photo,shape", [(1, (6, 7)), (2, (5, 4, 3))])
@@ -153,7 +164,7 @@ def test_tiff_predictor2_16bit(photo, shape):
     arr = RNG.randint(0, 256, shape).astype(np.uint8)
     exp = _expected(arr, photo, 16, None)
     for be in (False, True):
-        for kw in ({}, {"tiles": (4, 4)}, {"planar": 2},
+        for kw in ({}, {"tiles": (16, 16)}, {"planar": 2},
                    {"rows_per_strip": 3}):
             data = encode_tiff(
                 arr, photometric=photo, bits=16, predictor=2,
@@ -164,7 +175,7 @@ def test_tiff_predictor2_16bit(photo, shape):
 
 def test_tiff_tile_errors_feed_flag_policy():
     arr = RNG.randint(0, 256, (8, 8, 3)).astype(np.uint8)
-    data = bytearray(encode_tiff(arr, tiles=(4, 4)))
+    data = bytearray(encode_tiff(arr, tiles=(16, 16)))
     # truncation (clips IFD/tile bytes) -> flagged skip, never a crash
     assert try_decode_image(bytes(data[:-40]), "tiff") is None
     assert try_decode_image(bytes(data[:60]), "tiff") is None

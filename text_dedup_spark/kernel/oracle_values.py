@@ -361,9 +361,10 @@ def ann_ivfpq_topk_rows(
     deterministic trainers (hash-ordered sample -> shared ``pq_train_numpy``;
     seeded Lloyd with per-cell means recomputed driver-side), then per-query
     enumeration of probed-cell candidates, ADC shortlist, exact re-rank.
-    Margin audits cover every decision the distributed ``avg``'s ulp wobble
-    could flip: cell assignment (each Lloyd round + final index) and the
-    probe-set boundary."""
+    Margin audits cover every decision a last-ulp arithmetic difference
+    could flip: cell assignment (each Lloyd round + final index), the
+    probe-set boundary, and the per-subspace PQ nearest-codeword argmax
+    (full-matrix BLAS here vs per-Arrow-batch in the engine)."""
     import numpy as np
 
     from ..operators.ann import adc_scores_numpy, pq_codes_numpy, pq_train_numpy
@@ -398,6 +399,19 @@ def ann_ivfpq_topk_rows(
     _require_margin(float((top2[:, 1] - top2[:, 0]).min()), "index cell margin")
     cells = sims.argmax(axis=1)
 
+    # --- PQ nearest-codeword argmax margin: the engine encodes per Arrow
+    # batch while this replication encodes the full matrix in one BLAS
+    # call, so a near-tied codeword could flip under blocking-order
+    # differences without any other audit noticing. Audit the top-2
+    # codeword score gap in EVERY subspace (same batched argmax arithmetic
+    # as pq_codes_numpy) before trusting the codes.
+    m_, _kw, dsub = codebooks.shape
+    for s in range(m_):
+        sub = unit[:, s * dsub : (s + 1) * dsub]
+        cw = sub @ codebooks[s].T - 0.5 * (codebooks[s] ** 2).sum(axis=1)
+        t2 = np.partition(cw, -2, axis=1)[:, -2:]
+        _require_margin(
+            float((t2[:, 1] - t2[:, 0]).min()), f"pq codeword margin (sub {s})")
     codes = pq_codes_numpy(mat, codebooks)
     out = []
     for qi in np.flatnonzero(ids < n_queries):

@@ -453,6 +453,12 @@ def encode_tiff(
     strips = []
     if tiles is not None:
         tw, th = tiles
+        if tw % 16 or th % 16:
+            # TIFF 6.0 p.67: TileWidth/TileLength "must be a multiple of
+            # 16" — libtiff-based readers reject or warn on violations, so
+            # emitted fixtures stay spec-conforming (the DECODER remains
+            # lenient: wild files do violate this)
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
         for plane in plane_arrays:
             for y0 in range(0, h, th):
                 for x0 in range(0, w, tw):
