@@ -71,11 +71,17 @@ def test_real_codec_paths_are_stubbed():
     # WAV decodes natively now; truncated/invalid WAV is a parse error
     with pytest.raises(ValueError):
         decode_audio(b"RIFF....WAVEfmt ")
-    # compressed formats still require the import-gated backend
-    with pytest.raises(NotImplementedError):
+    # container-aware formats now parse structure FIRST: damaged Ogg/MP4
+    # is a ValueError, a WELL-FORMED container with a flagged codec is a
+    # NotImplementedError (round 5: sources/ogg.py, sources/mp4.py)
+    with pytest.raises(ValueError):
         decode_audio(b"OggS" + b"\x00" * 32)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_video_frames(b"\x00\x00\x00 ftypisom")
+    from text_dedup_spark.sources.ogg import make_opus_fixture
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(make_opus_fixture())
 
 
 def test_wav_decode_round_trip_and_stdlib_parity():

@@ -158,6 +158,17 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         if data[:4] == _FAKE_AUDIO_MAGIC:
             rate, n = struct.unpack("<II", data[4:12])
             return np.frombuffer(zlib.decompress(data[12:]), dtype="<i2")[:n], rate
+        if len(data) >= 12 and data[4:8] == b"ftyp":  # MP4/ISO-BMFF
+            from ..sources.mp4 import decode_mp4_audio
+
+            return decode_mp4_audio(data)
+        if data[:4] == b"OggS":  # Ogg Vorbis/Opus: container parses
+            from ..sources.ogg import ogg_meta
+
+            meta = ogg_meta(data)  # structural damage -> ValueError here
+            raise NotImplementedError(
+                f"Ogg {meta['codec']} payload has no native decoder "
+                "(container metadata available via probe_audio_meta)")
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, struct.error, zlib.error) as e:
@@ -170,6 +181,26 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
             "and the deterministic FPCM container decode natively"
         ) from None
     raise NotImplementedError("real-codec path not wired")  # pragma: no cover
+
+
+def probe_audio_meta(data: bytes) -> tuple[int, int] | None:
+    """Container-level ``(sample_rate, n_samples)`` for streams whose
+    CODEC is flagged but whose CONTAINER parses — Ogg Vorbis/Opus headers
+    + final granule position, MP4 mdhd duration. ``None`` when nothing
+    parses: the flag path then keeps zeroed meta. This is what makes a
+    flagged .ogg/.opus/.mp4-AAC row still carry real duration columns."""
+    try:
+        if data[:4] == b"OggS":
+            from ..sources.ogg import probe_ogg_audio
+
+            return probe_ogg_audio(data)
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            from ..sources.mp4 import probe_duration
+
+            return probe_duration(data)
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+    return None
 
 
 def decode_video_frames(data: bytes) -> np.ndarray:
@@ -215,6 +246,10 @@ def decode_video_frames(data: bytes) -> np.ndarray:
             return np.stack(
                 [_to_gray(yuv420_to_rgb(y, u, v)) for y, u, v in frames]
             )
+        if len(data) >= 12 and data[4:8] == b"ftyp":  # MP4/ISO-BMFF
+            from ..sources.mp4 import decode_mp4_video
+
+            return decode_mp4_video(data)
         if data[:4] == _FAKE_VIDEO_MAGIC:
             n, h, w = struct.unpack("<III", data[4:16])
             return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(n, h, w)
@@ -322,6 +357,9 @@ def audio_meta_table(
                     if not flag:
                         raise
                     oks[i] = False
+                    probed = probe_audio_meta(bytes(data))
+                    if probed:  # flagged codec, parseable container:
+                        rates[i], counts[i] = probed  # real meta columns
                     continue
                 rates[i] = rate
                 counts[i] = len(samples)
