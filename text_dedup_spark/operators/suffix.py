@@ -116,7 +116,9 @@ def remove_duplicate_substrings(
         pdf = pd.concat(parts, ignore_index=True)
         docs = list(zip(pdf[id_col].tolist(), pdf[text_col].fillna("").tolist()))
         rows = dedup_documents(docs, k, strategy)
-        yield pd.DataFrame(rows, columns=[id_col, text_col, "dup_bytes"])
+        for s in range(0, len(rows), 10_000):  # bounded yields (hash_scan)
+            yield pd.DataFrame(
+                rows[s : s + 10_000], columns=[id_col, text_col, "dup_bytes"])
 
     selected = df.select(id_col, text_col)
     if num_partitions is not None:
@@ -222,15 +224,25 @@ def _global_distributed(
         if len(blob) < k:
             return
         h1, h2, cnt, pos = distinct_hash_counts(blob, k)
-        yield pd.DataFrame(
-            {
-                _PART: np.full(len(h1), pid, dtype=np.int32),
-                "h1": h1,
-                "h2": h2,
-                "cnt": cnt,
-                "pos": pos,
-            }
-        )
+        # bounded yields: one unbounded DataFrame here becomes ONE Arrow
+        # record batch — at a ~10 MB partition blob that is ~10M gram rows
+        # (~300 MB of direct buffer on the JVM reader side), and 32
+        # concurrent tasks blow the 8 GB direct-memory cap (measured at
+        # the 100x scale run, netty OutOfDirectMemoryError; same hazard
+        # class as sources/synth.py's generator). 1M-row chunks are ~32 MB
+        # per batch worst-case — bounded regardless of partition size.
+        chunk = 1 << 20
+        for s in range(0, len(h1), chunk):
+            e = s + chunk
+            yield pd.DataFrame(
+                {
+                    _PART: np.full(len(h1[s:e]), pid, dtype=np.int32),
+                    "h1": h1[s:e],
+                    "h2": h2[s:e],
+                    "cnt": cnt[s:e],
+                    "pos": pos[s:e],
+                }
+            )
 
     try:
         # job 1 (cheap, bytes only — also materializes the `part` cache):
@@ -342,7 +354,12 @@ def _global_distributed(
                 rows = dedup_documents(
                     docs, k, strategy, extra_ranges=bc.value.get(pid, [])
                 )
-                yield pd.DataFrame(rows, columns=[id_col, text_col, "dup_bytes"])
+                # bounded yields (see hash_scan): document rows are fatter
+                # than gram rows, chunk by count
+                for s in range(0, len(rows), 10_000):
+                    yield pd.DataFrame(
+                        rows[s : s + 10_000],
+                        columns=[id_col, text_col, "dup_bytes"])
 
             cleaned = part.mapInPandas(finalize, out_schema)
         else:
