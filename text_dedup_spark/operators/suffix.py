@@ -163,8 +163,16 @@ def _global_distributed(
         if est and 0 < est < (1 << 60):  # unknown stats default to huge
             # stats track on-disk (compressed) bytes; text expands ~4-6x,
             # so a 64 KB divisor targets ~300-400 KB of text per partition
-            # (the measured sweet spot for 3-job overhead amortization)
-            n_parts = max(4, min(par, -(-est // (64 * 1024))))
+            # (the measured sweet spot for 3-job overhead amortization).
+            # The count is NOT clamped to the core count: the
+            # partition-local SA kernel is superlinear in blob size, so a
+            # corpus that outgrows cores x 400 KB must get MORE partitions
+            # (waves of small tasks), not bigger blobs — measured at the
+            # 100x scale run: 376 s at 32 x 10 MB partitions vs 272 s at
+            # 320 x 1 MB on the same 32 cores, identical output. The 512
+            # ceiling only bounds sandbox scheduling overhead; a real
+            # cluster's defaultParallelism exceeds it anyway.
+            n_parts = max(4, min(-(-est // (64 * 1024)), max(par, 512)))
         else:
             n_parts = max(1, min(df.rdd.getNumPartitions(), par))
 
@@ -270,31 +278,49 @@ def _global_distributed(
             )
             emits = emits.unionByName(strad_rows)
 
-        # ONE wide shuffle: group the gram space by (h1, h2); the dup test
-        # (total >= 2) and the notifications fall out of the same
-        # aggregate. A member with cnt == 1 is a locally-unique gram
-        # duplicated elsewhere -> its (partition, position) is the whole
-        # notification; part == -1 members are duplicated straddle grams
-        # whose global position the driver maps to clipped per-partition
-        # ranges. Map-side partial agg applies; member lists are bounded by
-        # n_parts plus the straddle occurrences of the gram.
-        agg = (
-            emits.groupBy("h1", "h2")
-            .agg(
-                F.sum("cnt").alias("total"),
-                F.collect_list(F.struct(_PART, "cnt", "pos")).alias("members"),
-            )
-            .where(F.col("total") >= 2)
+        # ONE wide shuffle of the gram space, hashed by (h1, h2) into
+        # SIZE-BOUNDED partitions; every occurrence of a gram lands in one
+        # partition, so the dup test (total >= 2) and the member filter
+        # resolve LOCALLY in a vectorized pandas pass — no aggregation
+        # state, no join, no sort. A member with cnt == 1 is a
+        # locally-unique gram duplicated elsewhere -> its (partition,
+        # position) is the whole notification; part == -1 members are
+        # duplicated straddle grams whose global position the driver maps
+        # to clipped per-partition ranges.
+        #
+        # Shape history (both predecessors measured-dead at the 100x
+        # scale run, BENCH/SCALE.md): groupBy + collect_list(struct(...))
+        # exhausted the execution pool (one object list buffer per
+        # in-flight group, ~10M groups/task x 32 tasks ->
+        # UNABLE_TO_ACQUIRE_MEMORY), and the sum-agg + left_semi rewrite
+        # was memory-safe but sort-spilled the 8 GB gram shuffle ~6x over
+        # (agg spill + two SMJ sort sides + dup-key shuffle: >60 GB
+        # scratch, died on disk). This shape shuffles the gram space
+        # exactly once and bounds BOTH memory and scratch: partition
+        # count is derived from the known blob size (~3 MB of gram rows
+        # per partition -> ~100 MB pandas frames), an explicit
+        # numPartitions repartition AQE won't coalesce.
+        total_blen = sum(b for _, b, _, _ in seams)
+        n_gram_parts = max(
+            spark.sparkContext.defaultParallelism,
+            -(-total_blen // 3_000_000),
         )
-        notif_rows = (
-            agg.select(F.explode("members").alias("m"))
-            .select(
-                F.col(f"m.{_PART}").alias(_PART),
-                F.col("m.cnt").alias("cnt"),
-                F.col("m.pos").alias("pos"),
-            )
-            .where((F.col(_PART) == -1) | (F.col("cnt") == 1))
-            .select(_PART, "pos")
+
+        def gram_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts_ = list(batches)
+            if not parts_:
+                return
+            pdf = pd.concat(parts_, ignore_index=True)
+            tot = pdf.groupby(["h1", "h2"])["cnt"].transform("sum")
+            out = pdf.loc[
+                (tot >= 2) & ((pdf["cnt"] == 1) | (pdf[_PART] == -1)),
+                [_PART, "pos"],
+            ]
+            for s in range(0, len(out), 1 << 20):  # bounded yields
+                yield out.iloc[s : s + (1 << 20)]
+
+        notif_rows = emits.repartition(n_gram_parts, "h1", "h2").mapInPandas(
+            gram_scan, f"{_PART} int, pos long"
         )
 
         # Compress notifications to coverage INTERVALS per partition before
