@@ -162,17 +162,18 @@ def _global_distributed(
         par = spark.sparkContext.defaultParallelism
         if est and 0 < est < (1 << 60):  # unknown stats default to huge
             # stats track on-disk (compressed) bytes; text expands ~4-6x,
-            # so a 64 KB divisor targets ~300-400 KB of text per partition
-            # (the measured sweet spot for 3-job overhead amortization).
-            # The count is NOT clamped to the core count: the
+            # so a 256 KB divisor targets ~1-1.5 MB of text per partition.
+            # Two measured forces set that size (100x scale run): the
             # partition-local SA kernel is superlinear in blob size, so a
-            # corpus that outgrows cores x 400 KB must get MORE partitions
-            # (waves of small tasks), not bigger blobs — measured at the
-            # 100x scale run: 376 s at 32 x 10 MB partitions vs 272 s at
-            # 320 x 1 MB on the same 32 cores, identical output. The 512
-            # ceiling only bounds sandbox scheduling overhead; a real
+            # corpus that outgrows cores x ~1 MB must get MORE partitions
+            # (waves of small tasks: 376 s at 32 x 10 MB blobs vs 272 s
+            # at 320 x 1 MB on the same 32 cores, identical output) —
+            # hence NO core-count clamp — while per-task overhead across
+            # this operator's three jobs punishes over-partitioning
+            # (sub-300 KB blobs ran 2x slower at 30 MB corpus scale). The
+            # 512 ceiling only bounds sandbox scheduling overhead; a real
             # cluster's defaultParallelism exceeds it anyway.
-            n_parts = max(4, min(-(-est // (64 * 1024)), max(par, 512)))
+            n_parts = max(4, min(-(-est // (256 * 1024)), max(par, 512)))
         else:
             n_parts = max(1, min(df.rdd.getNumPartitions(), par))
 
@@ -349,7 +350,17 @@ def _global_distributed(
                  "lo": lo, "hi": hi}
             )
 
-        compressed = notif_rows.groupBy(_PART).applyInPandas(
+        # explicit width: the default shuffle partition count packs
+        # ~n_parts/shuffle_partitions text partitions' notifications into
+        # one task — on a heavily-duplicated corpus (one notification per
+        # corpus byte; the clone-doubled 100x scale corpus is the
+        # worst case) that concentration heap-OOMed. Hash by _PART at the
+        # text-partition count instead: per-task volume is bounded by ONE
+        # partition's notifications, and the repartition's partitioning
+        # satisfies the groupBy's distribution so no second exchange.
+        compressed = notif_rows.repartition(
+            max(spark.sparkContext.defaultParallelism, n_parts), F.col(_PART)
+        ).groupBy(_PART).applyInPandas(
             compress, f"{_PART} int, kind int, lo long, hi long"
         )
         fetch_cap = broadcast_notify_max + len(strad) + 1
